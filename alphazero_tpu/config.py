@@ -1,0 +1,77 @@
+"""Central configuration.
+
+One frozen (hashable) dataclass so configs can be jit static arguments.
+Hyperparameter values reproduce the reference contract
+(/root/reference/src/config.py:11-69): board geometry, net size, MCTS
+constants, and the training schedule.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    # --- Game (Breakthrough) ---
+    board_size: int = 8
+    num_actions: int = 192          # 64 squares x 3 directions
+    input_planes: int = 3           # mine / theirs / ones
+
+    # --- Model ---
+    num_blocks: int = 20
+    num_filters: int = 128
+    se_ratio: int = 8
+
+    # --- MCTS ---
+    num_simulations: int = 400
+    num_simulations_inference: int = 200
+    c_puct: float = 1.5
+    fpu_reduction: float = 0.0      # FPU disabled: unvisited q = 0 (ref mcts.py:294-298)
+    dirichlet_alpha: float = 0.35
+    dirichlet_epsilon: float = 0.25
+    temperature_threshold: int = 16  # tau=1 for the first N moves, then 0
+
+    # --- Training ---
+    batch_size: int = 1024
+    learning_rate: float = 1e-3
+    lr_t_max: int = 200              # cosine period in learn() calls
+    lr_eta_min: float = 1e-5
+    weight_decay: float = 1e-4
+    grad_clip_norm: float = 1.0
+    parallel_games: int = 128
+    selfplay_batches: int = 8
+    buffer_size: int = 300_000
+    training_epochs: int = 1
+
+    # --- Self-play loop shape (TPU-specific; reference loops in Python) ---
+    max_game_length: int = 512       # hard cap on moves per self-play game
+
+    # --- Precision ---
+    inference_dtype: str = "bfloat16"  # activations in search; params stay f32
+    train_dtype: str = "float32"
+
+    # --- Paths ---
+    checkpoint_dir: str = "checkpoints"
+    best_model: str = "model_best"
+    data_file: str = "training_data.npz"
+    arena_state: str = "arena_state.json"
+
+    def checkpoint_path(self, filename: str) -> str:
+        return os.path.join(self.checkpoint_dir, filename)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = Config()
+
+
+def tiny_config(**kw) -> Config:
+    """A small config for tests: 2-block/32-filter net, few sims."""
+    base = dict(num_blocks=2, num_filters=32, num_simulations=16,
+                parallel_games=8, batch_size=32, max_game_length=256)
+    base.update(kw)
+    return Config(**base)

@@ -1,0 +1,167 @@
+"""SE-ResNet policy/value network (Flax).
+
+Architecture contract matches the reference net
+(/root/reference/src/model.py):
+
+- 3x3 input conv -> BN -> ReLU                          (model.py:123-124)
+- N SE-residual blocks: conv3x3-BN-ReLU, conv3x3-BN,
+  LC0-style SE (scale AND shift: fc2 emits 2C, split
+  into sigmoid(w) and bias b, y = x*w + b), +skip, ReLU (model.py:30-92)
+- policy head: conv3x3 -> BN -> ReLU -> FC(C*64 -> 192) (model.py:133-135)
+- value head: conv1x1 -> 32 -> BN -> ReLU ->
+  FC(2048 -> 128) -> ReLU -> FC(-> 2) win/loss logits   (model.py:137-142)
+
+TPU-first choices (not a translation):
+
+- NHWC layout internally (TPU conv native layout); the public interface
+  keeps the reference's (B, 3, 8, 8) NCHW planes.
+- Configurable compute dtype: bfloat16 activations for search inference,
+  float32 params; logits always return float32.
+- BatchNorm statistics live in a ``batch_stats`` collection; search uses
+  ``use_running_average=True`` (the reference's ``model.eval()``), the
+  learner updates stats per step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from alphazero_tpu.config import Config
+
+NetVariables = Dict[str, Any]  # {"params": ..., "batch_stats": ...}
+
+
+class SqueezeExcite(nn.Module):
+    """LC0-style squeeze-excitation: global pool -> bottleneck MLP that emits
+    per-channel (sigmoid gate, bias); output = x * gate + bias."""
+
+    channels: int
+    se_ratio: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: (B, 8, 8, C)
+        pooled = jnp.mean(x, axis=(1, 2))  # (B, C)
+        h = nn.Dense(self.channels // self.se_ratio, dtype=self.dtype, name="fc1")(pooled)
+        h = nn.relu(h)
+        h = nn.Dense(2 * self.channels, dtype=self.dtype, name="fc2")(h)
+        gate, bias = jnp.split(h, 2, axis=-1)
+        gate = jax.nn.sigmoid(gate)[:, None, None, :]
+        bias = bias[:, None, None, :]
+        return x * gate + bias
+
+
+class SEResBlock(nn.Module):
+    channels: int
+    se_ratio: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool) -> jax.Array:
+        y = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.channels, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="bn2")(y)
+        y = SqueezeExcite(self.channels, self.se_ratio, dtype=self.dtype,
+                          name="se")(y)
+        return nn.relu(y + x)
+
+
+class AlphaZeroNet(nn.Module):
+    """Policy (192 logits) + win/loss (2 logits) network.
+
+    Input: (B, 3, 8, 8) float planes (mine/theirs/ones, mover perspective).
+    """
+
+    num_blocks: int = 20
+    num_filters: int = 128
+    se_ratio: int = 8
+    num_actions: int = 192
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, planes: jax.Array, train: bool = False
+                 ) -> Tuple[jax.Array, jax.Array]:
+        x = jnp.transpose(planes, (0, 2, 3, 1)).astype(self.dtype)  # NHWC
+
+        x = nn.Conv(self.num_filters, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="input_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="input_bn")(x)
+        x = nn.relu(x)
+
+        for i in range(self.num_blocks):
+            x = SEResBlock(self.num_filters, self.se_ratio, dtype=self.dtype,
+                           name=f"block_{i}")(x, train)
+
+        # Policy head
+        p = nn.Conv(self.num_filters, (3, 3), padding="SAME", use_bias=False,
+                    dtype=self.dtype, name="policy_conv")(x)
+        p = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="policy_bn")(p)
+        p = nn.relu(p)
+        p = p.reshape(p.shape[0], -1)
+        policy_logits = nn.Dense(self.num_actions, dtype=self.dtype,
+                                 name="policy_fc")(p)
+
+        # Value head (win/loss, no draws)
+        v = nn.Conv(32, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="value_conv")(x)
+        v = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                         name="value_bn")(v)
+        v = nn.relu(v)
+        v = v.reshape(v.shape[0], -1)
+        v = nn.Dense(128, dtype=self.dtype, name="value_fc1")(v)
+        v = nn.relu(v)
+        wl_logits = nn.Dense(2, dtype=self.dtype, name="value_fc2")(v)
+
+        return policy_logits.astype(jnp.float32), wl_logits.astype(jnp.float32)
+
+
+def init_network(cfg: Config, rng: jax.Array, dtype=jnp.float32
+                 ) -> Tuple[AlphaZeroNet, NetVariables]:
+    """Build the net and initialize variables ({params, batch_stats})."""
+    net = AlphaZeroNet(
+        num_blocks=cfg.num_blocks,
+        num_filters=cfg.num_filters,
+        se_ratio=cfg.se_ratio,
+        num_actions=cfg.num_actions,
+        dtype=dtype,
+    )
+    dummy = jnp.zeros((1, cfg.input_planes, cfg.board_size, cfg.board_size),
+                      jnp.float32)
+    variables = net.init(rng, dummy, train=False)
+    return net, dict(variables)
+
+
+def policy_value_apply(net: AlphaZeroNet, variables: NetVariables,
+                       planes: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Inference: (policy_probs (B,192), value (B,) = P(win)-P(loss)).
+
+    Matches the reference's evaluation pipeline (mcts.py:245-258): softmax
+    policy, softmax WL collapsed to a scalar in [-1, 1].
+    """
+    policy_logits, wl_logits = net.apply(variables, planes, train=False)
+    policy = jax.nn.softmax(policy_logits, axis=-1)
+    return policy, wl_to_value(wl_logits)
+
+
+def wl_to_value(wl_logits: jax.Array) -> jax.Array:
+    """(B, 2) win/loss logits -> (B,) scalar value = P(win) - P(loss)
+    (reference model.py:182-195)."""
+    wl = jax.nn.softmax(wl_logits, axis=-1)
+    return wl[..., 0] - wl[..., 1]
+
+
+def count_params(variables: NetVariables) -> int:
+    return sum(x.size for x in jax.tree_util.tree_leaves(variables["params"]))

@@ -1,0 +1,29 @@
+"""Test configuration: force an 8-virtual-device CPU backend.
+
+Multi-chip sharding is exercised on a virtual CPU mesh (the JAX-native
+analogue of the reference's single-device test strategy, SURVEY.md §4);
+the real TPU is reserved for bench.py.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from alphazero_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+REFERENCE_PATH = "/root/reference"
+
+
+def reference_available() -> bool:
+    return os.path.isdir(os.path.join(REFERENCE_PATH, "src"))
