@@ -43,8 +43,11 @@ from flax import struct
 
 from alphazero_tpu.env import breakthrough as env
 
-Evaluator = Callable[[jax.Array], Tuple[jax.Array, jax.Array]]
-# eval_fn(planes (B,3,8,8) f32) -> (policy_probs (B,192) f32, value (B,) f32)
+Evaluator = Callable[..., Tuple[jax.Array, jax.Array]]
+# eval_fn(planes (B,3,8,8) f32[, ctx]) -> (policy_probs (B,192) f32,
+# value (B,) f32). ``ctx`` is an optional per-game pytree (row-aligned with
+# the batch) for evaluators that dispatch per game — e.g. arena matches
+# where each game's searching player uses a different network.
 
 NO_CHILD = jnp.int32(-1)
 NO_PARENT = jnp.int32(-1)
@@ -255,7 +258,8 @@ def _gather_states(states: env.EnvState, idx: jax.Array) -> env.EnvState:
         lambda x: jax.vmap(lambda xb, ib: xb[ib])(x, idx), states)
 
 
-def _simulate_once(tree: Tree, eval_fn: Evaluator, spec: SearchSpec) -> Tree:
+def _simulate_once(tree: Tree, eval_fn: Evaluator, spec: SearchSpec,
+                   eval_ctx=None) -> Tree:
     # (1) selection — per game
     leaf0, parent, action, needs_alloc = jax.vmap(
         functools.partial(_select_leaf, spec=spec))(tree)
@@ -267,7 +271,8 @@ def _simulate_once(tree: Tree, eval_fn: Evaluator, spec: SearchSpec) -> Tree:
     # (3) one batched evaluation of all leaves (the MXU step)
     leaf_states = _gather_states(tree.states, leaf)
     planes = env.encoded_state(leaf_states)
-    policy, value = eval_fn(planes)
+    policy, value = (eval_fn(planes) if eval_ctx is None
+                     else eval_fn(planes, eval_ctx))
     is_term = leaf_states.done
     value = jnp.where(
         is_term, env.terminal_value_for_player_to_move(leaf_states),
@@ -289,6 +294,7 @@ def search(
     add_noise: bool = False,
     tree: Tree | None = None,
     root_noise: jax.Array | None = None,
+    eval_ctx=None,
 ) -> Tree:
     """Run ``spec.num_simulations`` simulations for a batch of games.
 
@@ -302,7 +308,9 @@ def search(
 
     # Root expansion (does not count a visit — mcts.py:128-138).
     root_state = _gather_states(tree.states, jnp.zeros_like(tree.node_count))
-    policy, _ = eval_fn(env.encoded_state(root_state))
+    root_planes = env.encoded_state(root_state)
+    policy, _ = (eval_fn(root_planes) if eval_ctx is None
+                 else eval_fn(root_planes, eval_ctx))
     need_root = ~tree.expanded[:, 0] & ~root_state.done
     tree = jax.vmap(functools.partial(_expand, spec=spec))(
         tree, jnp.zeros_like(tree.node_count), policy, need_root)
@@ -313,7 +321,7 @@ def search(
         tree = _add_root_noise(tree, rng, spec, noise=root_noise)
 
     def body(_, t):
-        return _simulate_once(t, eval_fn, spec)
+        return _simulate_once(t, eval_fn, spec, eval_ctx=eval_ctx)
 
     return jax.lax.fori_loop(0, spec.num_simulations, body, tree)
 

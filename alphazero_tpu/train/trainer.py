@@ -1,0 +1,161 @@
+"""Trainer: orchestrates self-play -> replay -> learn -> checkpoint.
+
+The reference's restartable training loop (/root/reference/main.py:24-90,
+src/parallel_trainer.py): resume from the latest iteration checkpoint,
+reload the newest buffer_size examples from disk, then forever
+{selfplay_batches x parallel_games self-play -> learn 1 epoch -> append
+data -> checkpoint}. Crash-anywhere restartability is preserved: every
+artifact is re-loadable and the loop is idempotent per iteration.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from alphazero_tpu.config import Config
+from alphazero_tpu.models import init_network
+from alphazero_tpu.models.network import AlphaZeroNet
+from alphazero_tpu.search.mcts import make_net_evaluator
+from alphazero_tpu.train import checkpoint as ckpt
+from alphazero_tpu.train.learner import (
+    TrainState,
+    create_train_state,
+    train_step,
+)
+from alphazero_tpu.train.replay import (
+    ReplayBuffer,
+    append_training_data,
+    load_training_data,
+)
+from alphazero_tpu.train.selfplay import selfplay_games
+from alphazero_tpu.utils import setup_logging
+
+log = setup_logging()
+
+
+class Trainer:
+    def __init__(self, cfg: Config, seed: int = 0,
+                 net: Optional[AlphaZeroNet] = None,
+                 state: Optional[TrainState] = None):
+        self.cfg = cfg
+        if net is None or state is None:
+            net, variables = init_network(cfg, jax.random.PRNGKey(seed))
+            state = create_train_state(cfg, net, variables)
+        self.net = net
+        self.state = state
+        self.buffer = ReplayBuffer(cfg.buffer_size,
+                                   num_actions=cfg.num_actions)
+        self.rng = jax.random.PRNGKey(seed + 1)
+        self.np_rng = np.random.default_rng(seed + 2)
+        self.iteration = int(state.iteration)
+
+    # -- self-play ---------------------------------------------------------
+    def _variables(self):
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats}
+
+    def execute_selfplay(self, num_games: Optional[int] = None):
+        eval_fn = make_net_evaluator(self.net, self._variables())
+        self.rng, k = jax.random.split(self.rng)
+        examples, stats = selfplay_games(eval_fn, self.cfg, k,
+                                         num_games=num_games)
+        return examples, stats
+
+    # -- learning ----------------------------------------------------------
+    def learn(self, epochs: Optional[int] = None,
+              batch_size: Optional[int] = None) -> Dict[str, float]:
+        """One learn() call = reference semantics: iterate over the
+        (2x-augmented) buffer for `epochs`, then advance the cosine schedule
+        once (parallel_trainer.py:225-284)."""
+        epochs = epochs if epochs is not None else self.cfg.training_epochs
+        batch_size = batch_size or self.cfg.batch_size
+        if len(self.buffer) == 0:
+            return {}
+
+        steps_per_epoch = max(1, math.ceil(2 * len(self.buffer) / batch_size))
+        metrics_acc: Dict[str, float] = {}
+        n_steps = 0
+        for _ in range(epochs):
+            for _ in range(steps_per_epoch):
+                batch = self.buffer.sample(self.np_rng, batch_size)
+                mirror = self.np_rng.random(batch_size) < 0.5
+                self.state, metrics = train_step(
+                    self.state,
+                    tuple(jnp.asarray(x) for x in batch),
+                    jnp.asarray(mirror),
+                    self.net, self.cfg)
+                n_steps += 1
+                for k, v in metrics.items():
+                    metrics_acc[k] = metrics_acc.get(k, 0.0) + float(v)
+
+        self.state = self.state.replace(
+            learn_calls=self.state.learn_calls + 1)
+        return {k: v / n_steps for k, v in metrics_acc.items()}
+
+    # -- persistence ---------------------------------------------------------
+    def save(self, iteration: Optional[int] = None) -> str:
+        it = self.iteration if iteration is None else iteration
+        self.state = self.state.replace(
+            iteration=jnp.asarray(it, jnp.int32))
+        return ckpt.save_iteration_checkpoint(self.cfg, self.state, it)
+
+    def resume(self) -> int:
+        """Load the latest checkpoint + replay tail; returns iteration."""
+        it = ckpt.get_latest_iteration(self.cfg)
+        if it > 0:
+            path = self.cfg.checkpoint_path(f"iteration_{it}")
+            self.state = ckpt.load_checkpoint(path, self.state)
+            self.iteration = it
+        loaded = load_training_data(
+            self.cfg.checkpoint_path(self.cfg.data_file), self.buffer)
+        if it or loaded:
+            log.info("resumed at iteration %d with %d examples", it, loaded)
+        return it
+
+    def append_data(self, examples) -> int:
+        return append_training_data(
+            self.cfg.checkpoint_path(self.cfg.data_file), examples)
+
+    # -- the loop ------------------------------------------------------------
+    def run_iteration(self) -> Dict[str, float]:
+        """One training iteration: selfplay_batches rounds of self-play,
+        one learn() call, persist data + checkpoint."""
+        t0 = time.time()
+        new_examples: List = []
+        for b in range(self.cfg.selfplay_batches):
+            examples, stats = self.execute_selfplay()
+            new_examples.extend(examples)
+            log.info("selfplay batch %d/%d: %d examples (%d games, %d sims)",
+                     b + 1, self.cfg.selfplay_batches, stats["examples"],
+                     stats["games"], stats["simulations"])
+        selfplay_s = time.time() - t0
+
+        self.buffer.add(new_examples)
+        t1 = time.time()
+        metrics = self.learn()
+        learn_s = time.time() - t1
+
+        self.append_data(new_examples)
+        self.iteration += 1
+        self.save()
+
+        metrics.update({
+            "iteration": self.iteration,
+            "examples_new": len(new_examples),
+            "buffer": len(self.buffer),
+            "selfplay_seconds": round(selfplay_s, 2),
+            "learn_seconds": round(learn_s, 2),
+        })
+        log.info("iteration %d done: %s", self.iteration, metrics)
+        return metrics
+
+    def train_forever(self, max_iterations: Optional[int] = None):
+        self.resume()
+        while max_iterations is None or self.iteration < max_iterations:
+            self.run_iteration()

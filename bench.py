@@ -1,0 +1,92 @@
+"""Benchmark: MCTS simulations/sec/chip at self-play settings.
+
+Runs the flagship configuration (20-block/128-filter SE-ResNet, 800
+simulations per move, Dirichlet root noise — BASELINE.json config 3) as one
+compiled search program per move on the real chip and reports
+
+    {"metric": "mcts_sims_per_sec_per_chip", ...}
+
+against the driver's north-star target of 100k sims/s/chip.
+Extra diagnostics go to stderr; stdout carries exactly one JSON line.
+"""
+
+import functools
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    from alphazero_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from alphazero_tpu.config import Config
+    from alphazero_tpu.env import initial_state
+    from alphazero_tpu.models import init_network
+    from alphazero_tpu.search import SearchSpec, make_net_evaluator
+    from alphazero_tpu.train.selfplay import selfplay_move
+
+    num_games = int(os.environ.get("AZTPU_BENCH_GAMES", "256"))
+    num_sims = int(os.environ.get("AZTPU_BENCH_SIMS", "800"))
+    reps = int(os.environ.get("AZTPU_BENCH_REPS", "3"))
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}, games={num_games}, sims={num_sims}")
+
+    cfg = Config(num_simulations=num_sims)
+    net, variables = init_network(cfg, jax.random.PRNGKey(0),
+                                  dtype=jnp.bfloat16)
+    eval_fn = make_net_evaluator(net, variables, dtype=jnp.float32)
+    spec = SearchSpec(
+        num_simulations=num_sims,
+        c_puct=cfg.c_puct,
+        dirichlet_alpha=cfg.dirichlet_alpha,
+        dirichlet_epsilon=cfg.dirichlet_epsilon,
+    )
+
+    states = initial_state((num_games,))
+    rng = jax.random.PRNGKey(1)
+
+    def run(states, rng):
+        new_states, planes, probs, actions, values = selfplay_move(
+            states, rng, eval_fn, spec, cfg.temperature_threshold)
+        return new_states, actions
+
+    t0 = time.time()
+    states2, actions = run(states, rng)
+    jax.block_until_ready(states2)
+    log(f"compile+first move: {time.time() - t0:.1f}s")
+
+    best = float("inf")
+    cur = states
+    for i in range(reps):
+        rng, k = jax.random.split(rng)
+        t0 = time.time()
+        cur, actions = run(cur, k)
+        jax.block_until_ready(actions)
+        dt = time.time() - t0
+        best = min(best, dt)
+        log(f"rep {i}: {dt:.3f}s -> {num_games * num_sims / dt:,.0f} sims/s")
+
+    sims_per_sec = num_games * num_sims / best
+    target = 100_000.0
+    print(json.dumps({
+        "metric": "mcts_sims_per_sec_per_chip",
+        "value": round(sims_per_sec, 1),
+        "unit": "sims/s",
+        "vs_baseline": round(sims_per_sec / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

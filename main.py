@@ -1,0 +1,94 @@
+"""CLI: train | web | arena (reference surface, /root/reference/main.py).
+
+  python main.py train            # restartable self-play training loop
+  python main.py arena            # continuous ELO matchmaking daemon
+  python main.py web              # human-vs-bot web UI + JSON API
+
+Common overrides: --blocks/--filters/--sims/--games plus paths; run
+`python main.py <cmd> -h` for all flags.
+"""
+
+import argparse
+import os
+
+
+def add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--blocks", type=int, default=None)
+    p.add_argument("--filters", type=int, default=None)
+    p.add_argument("--sims", type=int, default=None)
+    p.add_argument("--games", type=int, default=None)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend")
+    p.add_argument("--seed", type=int, default=0)
+
+
+def build_config(args):
+    from alphazero_tpu.config import Config
+
+    cfg = Config(checkpoint_dir=args.checkpoint_dir)
+    over = {}
+    if args.blocks is not None:
+        over["num_blocks"] = args.blocks
+    if args.filters is not None:
+        over["num_filters"] = args.filters
+    if args.sims is not None:
+        over["num_simulations"] = args.sims
+        over["num_simulations_inference"] = max(1, args.sims // 2)
+    if args.games is not None:
+        over["parallel_games"] = args.games
+    return cfg.replace(**over) if over else cfg
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="AlphaZero on TPU (JAX)")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_train = sub.add_parser("train", help="run the training loop")
+    add_common(p_train)
+    p_train.add_argument("--iterations", type=int, default=None,
+                         help="stop after N iterations (default: forever)")
+
+    p_arena = sub.add_parser("arena", help="continuous ELO matchmaking")
+    add_common(p_arena)
+    p_arena.add_argument("--rounds", type=int, default=None)
+
+    p_web = sub.add_parser("web", help="web UI / JSON API server")
+    add_common(p_web)
+    p_web.add_argument("--host", default="0.0.0.0")
+    p_web.add_argument("--port", type=int, default=5051)
+
+    args = parser.parse_args()
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["JAX_PLATFORM_NAME"] = "cpu"
+
+    from alphazero_tpu.utils import enable_compilation_cache, setup_logging
+
+    enable_compilation_cache()
+    log = setup_logging()
+    cfg = build_config(args)
+
+    if args.command == "train":
+        import jax
+
+        from alphazero_tpu.models.network import count_params
+        from alphazero_tpu.train import Trainer
+
+        trainer = Trainer(cfg, seed=args.seed)
+        log.info("model: %d blocks x %d filters, %s params on %s",
+                 cfg.num_blocks, cfg.num_filters,
+                 f"{count_params(trainer._variables()):,}", jax.devices()[0])
+        trainer.train_forever(max_iterations=args.iterations)
+    elif args.command == "arena":
+        from alphazero_tpu.arena import run_arena
+
+        run_arena(cfg, max_rounds=args.rounds, seed=args.seed)
+    elif args.command == "web":
+        from alphazero_tpu.web.server import serve
+
+        serve(cfg, host=args.host, port=args.port)
+
+
+if __name__ == "__main__":
+    main()

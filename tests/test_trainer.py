@@ -1,0 +1,151 @@
+"""Trainer / learner / replay / checkpoint tests.
+
+Includes the reference's surgical regression (tests/test_trainer.py:28-64):
+after loading a checkpoint, the cosine schedule must follow the LIVE
+config's T_max, not anything persisted.
+"""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphazero_tpu.config import tiny_config
+from alphazero_tpu.train import Trainer, cosine_lr
+from alphazero_tpu.train.learner import mirror_permutation
+from alphazero_tpu.train.replay import (
+    ReplayBuffer,
+    append_training_data,
+    load_training_data,
+)
+
+
+def make_tiny_trainer(tmp_path, **kw):
+    cfg = tiny_config(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        num_simulations=8,
+        parallel_games=4,
+        batch_size=16,
+        selfplay_batches=1,
+        num_blocks=1,
+        num_filters=8,
+        **kw,
+    )
+    return Trainer(cfg, seed=0)
+
+
+class TestReplay:
+    def test_ring_buffer(self):
+        buf = ReplayBuffer(capacity=10)
+        ex = [(np.ones((3, 8, 8)), np.full(192, 1 / 192, np.float32),
+               np.array([1, 0], np.float32)) for _ in range(25)]
+        buf.add(ex)
+        assert len(buf) == 10
+        s, p, wl = buf.sample(np.random.default_rng(0), 4)
+        assert s.shape == (4, 3, 8, 8) and s.dtype == np.float32
+        assert p.shape == (4, 192) and wl.shape == (4, 2)
+
+    def test_disk_roundtrip(self, tmp_path):
+        path = str(tmp_path / "training_data.npz")
+        ex1 = [(np.zeros((3, 8, 8)), np.zeros(192, np.float32),
+                np.array([1, 0], np.float32))] * 5
+        ex2 = [(np.ones((3, 8, 8)), np.ones(192, np.float32) / 192,
+                np.array([0, 1], np.float32))] * 7
+        assert append_training_data(path, ex1) == 5
+        assert append_training_data(path, ex2) == 12
+        buf = ReplayBuffer(capacity=8)
+        loaded = load_training_data(path, buf)
+        assert loaded == 8  # newest 8 of 12
+        assert len(buf) == 8
+
+
+class TestMirrorAugmentation:
+    def test_permutation_is_involution(self):
+        perm = mirror_permutation()
+        np.testing.assert_array_equal(perm[perm], np.arange(192))
+
+    def test_matches_reference_mapping(self):
+        perm = mirror_permutation()
+        # square (r, c) dir left -> square (r, 7-c) dir right
+        sq, msq = 2 * 8 + 1, 2 * 8 + 6
+        assert perm[sq * 3 + 1] == msq * 3 + 2
+        assert perm[sq * 3 + 2] == msq * 3 + 1
+        assert perm[sq * 3 + 0] == msq * 3 + 0
+
+
+class TestCosineSchedule:
+    def test_closed_form(self):
+        cfg = tiny_config(learning_rate=1e-3, lr_t_max=200, lr_eta_min=1e-5)
+        assert float(cosine_lr(cfg, jnp.asarray(0))) == pytest.approx(1e-3)
+        assert float(cosine_lr(cfg, jnp.asarray(200))) == pytest.approx(1e-5)
+        mid = float(cosine_lr(cfg, jnp.asarray(100)))
+        assert mid == pytest.approx((1e-3 + 1e-5) / 2, rel=1e-5)
+
+    def test_t_max_follows_live_config_after_resume(self, tmp_path):
+        """Reference regression: checkpoint carries the schedule position,
+        but T_max always comes from the live config."""
+        tr = make_tiny_trainer(tmp_path)
+        tr.state = tr.state.replace(learn_calls=jnp.asarray(50, jnp.int32))
+        tr.save(1)
+
+        # resume under a config with a different T_max
+        tr2 = make_tiny_trainer(tmp_path)
+        tr2.cfg = tr2.cfg.replace(lr_t_max=100)
+        tr2.resume()
+        assert int(tr2.state.learn_calls) == 50
+        got = float(cosine_lr(tr2.cfg, tr2.state.learn_calls))
+        want = 1e-5 + (tr2.cfg.learning_rate - 1e-5) * (
+            1 + math.cos(math.pi * 50 / 100)) / 2
+        assert got == pytest.approx(want, rel=1e-6)
+
+
+class TestEndToEnd:
+    def test_selfplay_produces_valid_examples(self, tmp_path):
+        tr = make_tiny_trainer(tmp_path)
+        examples, stats = tr.execute_selfplay()
+        assert stats["games"] == 4
+        assert len(examples) == stats["examples"] > 0
+        s, p, wl = examples[0]
+        assert s.shape == (3, 8, 8)
+        assert p.shape == (192,)
+        assert p.sum() == pytest.approx(1.0, abs=1e-4)
+        assert sorted(wl.tolist()) == [0.0, 1.0]
+        # every game's examples have consistent alternating WL targets
+        # and per-game example counts sum to total moves
+        assert stats["moves"] == len(examples)
+
+    def test_learn_reduces_loss_on_fixed_buffer(self, tmp_path):
+        tr = make_tiny_trainer(tmp_path)
+        rng = np.random.default_rng(0)
+        ex = []
+        for _ in range(64):
+            s = (rng.random((3, 8, 8)) < 0.3).astype(np.float32)
+            p = np.zeros(192, np.float32)
+            p[rng.integers(192)] = 1.0
+            wl = np.array([1.0, 0.0], np.float32)
+            ex.append((s, p, wl))
+        tr.buffer.add(ex)
+        m1 = tr.learn(epochs=1)
+        for _ in range(8):
+            m2 = tr.learn(epochs=1)
+        assert m2["loss"] < m1["loss"]
+        assert int(tr.state.learn_calls) == 9
+
+    def test_full_iteration_and_resume(self, tmp_path):
+        tr = make_tiny_trainer(tmp_path)
+        metrics = tr.run_iteration()
+        assert metrics["iteration"] == 1
+        assert os.path.isdir(tr.cfg.checkpoint_path("iteration_1"))
+        assert os.path.exists(tr.cfg.checkpoint_path("training_data.npz"))
+
+        tr2 = make_tiny_trainer(tmp_path)
+        it = tr2.resume()
+        assert it == 1
+        assert len(tr2.buffer) == metrics["examples_new"]
+        # params actually restored (match trained, not fresh-init)
+        a = jax.tree_util.tree_leaves(tr.state.params)[0]
+        b = jax.tree_util.tree_leaves(tr2.state.params)[0]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
