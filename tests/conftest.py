@@ -7,10 +7,10 @@ the real TPU is reserved for bench.py.
 
 import os
 
-# NOTE: this environment's (axon-patched) JAX ignores JAX_PLATFORMS;
-# JAX_PLATFORM_NAME is the knob that works. Set both.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
+# Force CPU unconditionally: the driver shell exports JAX_PLATFORMS=axon
+# (the TPU tunnel), so setdefault would leave tests on the real chip.
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
