@@ -97,7 +97,7 @@ class TestSearchBasics:
     def test_root_visits_equal_sims(self):
         spec = SearchSpec(num_simulations=32)
         tree = jit_search(initial_state((4,)), fake_eval_jax, spec)
-        np.testing.assert_array_equal(np.asarray(tree.visit[:, 0]), 32)
+        np.testing.assert_array_equal(np.asarray(tree.root_visit), 32)
         # child visits sum to total sims too (every sim passes the root)
         np.testing.assert_array_equal(
             np.asarray(root_child_visits(tree).sum(-1)), 32)
@@ -145,7 +145,7 @@ class TestSearchBasics:
         tree = jit_search(states_from_games([g, OracleGame()]),
                           fake_eval_jax, spec)
         # terminal game: no children materialized, all visits at root
-        assert int(tree.visit[0, 0]) == 8
+        assert int(tree.root_visit[0]) == 8
         assert int(tree.node_count[0]) == 1
         assert int(tree.node_count[1]) > 1
 
