@@ -4,29 +4,30 @@ A from-scratch re-design of the reference's dict-of-Nodes search
 (/root/reference/src/mcts.py) as fixed-size arrays + XLA control flow, so an
 entire N-simulation search over thousands of games compiles to ONE program.
 
-Layout (v2), driven by measured TPU cost asymmetries (scripts/microbench_*):
-scatter/gather ops with *per-game varying* indices cost ~50us each at B=256
-(lane-serialized), while dynamic updates at a *batch-uniform* index are free
-(<1us). The design therefore:
+Layout (v6), driven by measured TPU cost asymmetries (scripts/microbench_*)
+and optimized-HLO inspection:
 
-- allocates node slots in simulation order — the slot for simulation ``i``
-  is ``i+1`` for every game — so node-state, prior, and child-mask writes
-  are batch-uniform dynamic-update-slices (free), never scatters;
-- stores per-node data as ONE fused row ``rows[b, n] : (4, A)`` holding
-  [child-pointer | prior | edge-visit | edge-value-sum] so each descent
-  level issues exactly ONE varying-index row read;
-- keeps the child pointer in the same row as the edge statistics and
-  encodes it additively (-1 == unallocated, pointer write == add ``s+1``)
-  so backprop's per-level scatter-add updates pointer+visit+value in ONE
-  scatter op, and the separate child-pointer scatter disappears;
-- records the descent path in (B, depth) buffers written at the loop
-  counter (batch-uniform — free) so backprop never re-walks parent
-  pointers with varying-index reads.
-
-Per simulation the only lane-serialized ops are: one row-read per descent
-level, one node-state read at the leaf, and one fused scatter-add per
-backprop level. Everything else is dense vector math or batch-uniform
-slices.
+- scatter/gather ops with *per-game varying* indices are lane-serialized
+  while dynamic updates at a *batch-uniform* index are free — so node slots
+  are allocated in simulation order (the slot for simulation ``i`` is
+  ``i+1`` for every game) and the expansion write is ONE batch-uniform
+  dynamic-update-slice, never a scatter;
+- per-node data is ONE fused row ``rows[b, n] : (4A,)`` holding the
+  [child ptr | prior | edge visit | edge vsum] blocks, and BOTH
+  varying-index accesses (the descent row read and the backprop edge
+  update) are Pallas DMA kernels (search/kernels.py). Expressed as XLA
+  gather/scatter they demand different operand layouts and XLA
+  transpose-copies the whole tree every simulation; the custom calls
+  remove every layout demand from the XLA graph;
+- child pointers are encoded additively (-1 == unallocated, pointer write
+  == add ``s+1``) so the pointer write rides the backprop edge update for
+  the final edge — no read-modify-write gather;
+- the descent path is recorded in (B, depth) buffers written at the loop
+  counter (batch-uniform — free) and backprop walks it top-down, so parent
+  pointers never need varying-index re-reads;
+- NO per-node game state is stored: the leaf state is recomputed by
+  folding the vectorized ``env.step`` over the recorded path actions from
+  the root state — a handful of dense vector ops per level.
 
 Search semantics reproduce the reference contract exactly
 (SURVEY.md §2 quirks 1-7):
@@ -50,7 +51,6 @@ against a float64 oracle in tests.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import jax
@@ -58,6 +58,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from alphazero_tpu.env import breakthrough as env
+from alphazero_tpu.search import kernels
 
 Evaluator = Callable[..., Tuple[jax.Array, jax.Array]]
 # eval_fn(planes (B,3,8,8) f32[, ctx]) -> (policy_probs (B,192) f32,
@@ -65,16 +66,10 @@ Evaluator = Callable[..., Tuple[jax.Array, jax.Array]]
 # the batch) for evaluators that dispatch per game — e.g. arena matches
 # where each game's searching player uses a different network.
 
-# Child-pointer plane sentinels (stored as floats; slots <= capacity are
-# exactly representable in every value dtype used).
+# Child-pointer sentinels (stored as floats; slots <= capacity are exactly
+# representable in every value dtype used).
 ILLEGAL = -2.0       # action illegal at this node
 UNALLOCATED = -1.0   # legal action whose child node does not exist yet
-
-# Plane indices within a fused node row.
-P_CHILD, P_PRIOR, P_VISIT, P_VSUM = 0, 1, 2, 3
-
-# Packed node-state row: board (64) | turn | winner | done | move_count.
-STATE_WIDTH = 68
 
 
 @struct.dataclass
@@ -98,11 +93,17 @@ class SearchSpec:
 class Tree:
     """Batched search tree; B games, N = capacity node slots.
 
-    rows:        (B, N+1, 4, A) value_dtype — fused per-node rows
-                 [child ptr | prior | edge visit | edge value-sum]; child
-                 pointers use the ILLEGAL/UNALLOCATED sentinels; slot N is a
-                 write-only trash row targeted by masked scatter updates.
-    node_states: (B, N, STATE_WIDTH) int32 — packed game state per node
+    rows:        (B, N+1, 4A/128, 128) value_dtype fused per-node rows;
+                 flattening the trailing dims gives blocks
+                 [child ptr | prior | edge visit | edge vsum] of width A.
+                 Child pointers use the ILLEGAL/UNALLOCATED sentinels; slot
+                 N is a write-only trash row targeted by masked updates.
+                 The trailing (r, 128) split keeps the Pallas-DMA'd slice
+                 dims untiled, and the array is never reshaped inside the
+                 simulation loop (that would break in-place aliasing).
+    root_state:  EnvState with batch shape (B,) — the search root position
+                 (node states are otherwise not stored; leaf states are
+                 replayed from here along the descent path)
     root_visit:  (B,) int32 — root visit count (the root has no incoming
                  edge, so its stats live outside the rows)
     root_vsum:   (B,) value_dtype
@@ -112,43 +113,31 @@ class Tree:
     """
 
     rows: jax.Array
-    node_states: jax.Array
+    root_state: env.EnvState
     root_visit: jax.Array
     root_vsum: jax.Array
     node_count: jax.Array
     next_slot: jax.Array
 
     @property
+    def num_actions(self) -> int:
+        return self.rows.shape[-2] * self.rows.shape[-1] // 4
+
+    def _flat_rows(self) -> jax.Array:
+        B, M = self.rows.shape[:2]
+        return self.rows.reshape(B, M, -1)
+
+    @property
     def prior(self) -> jax.Array:
         """(B, N, A) priors (0 on illegal actions, like the reference)."""
-        return self.rows[:, :-1, P_PRIOR, :]
+        A = self.num_actions
+        return self._flat_rows()[:, :-1, A:2 * A]
 
     @property
     def child_visit(self) -> jax.Array:
         """(B, N, A) per-edge visit counts."""
-        return self.rows[:, :-1, P_VISIT, :]
-
-
-def pack_state(s: env.EnvState) -> jax.Array:
-    """EnvState -> (..., STATE_WIDTH) int32 row."""
-    flat = s.board.reshape(s.board.shape[:-2] + (64,)).astype(jnp.int32)
-    extras = jnp.stack(
-        [s.turn.astype(jnp.int32), s.winner.astype(jnp.int32),
-         s.done.astype(jnp.int32), s.move_count.astype(jnp.int32)], axis=-1)
-    return jnp.concatenate([flat, extras], axis=-1)
-
-
-def unpack_state(row: jax.Array) -> env.EnvState:
-    """(..., STATE_WIDTH) int32 row -> EnvState."""
-    board = row[..., :64].astype(jnp.int8)
-    board = board.reshape(board.shape[:-1] + (8, 8))
-    return env.EnvState(
-        board=board,
-        turn=row[..., 64].astype(jnp.int8),
-        winner=row[..., 65].astype(jnp.int8),
-        done=row[..., 66].astype(jnp.bool_),
-        move_count=row[..., 67],
-    )
+        A = self.num_actions
+        return self._flat_rows()[:, :-1, 2 * A:3 * A]
 
 
 def init_tree(root_states: env.EnvState, spec: SearchSpec) -> Tree:
@@ -157,13 +146,12 @@ def init_tree(root_states: env.EnvState, spec: SearchSpec) -> Tree:
     N, A = spec.capacity, spec.num_actions
     vdt = spec.value_dtype
     rows = jnp.concatenate(
-        [jnp.full((B, N + 1, 1, A), ILLEGAL, vdt),
-         jnp.zeros((B, N + 1, 3, A), vdt)], axis=2)
-    node_states = jnp.zeros((B, N, STATE_WIDTH), jnp.int32)
-    node_states = node_states.at[:, 0, :].set(pack_state(root_states))
+        [jnp.full((B, N + 1, A), ILLEGAL, vdt),
+         jnp.zeros((B, N + 1, 3 * A), vdt)], axis=2
+    ).reshape(B, N + 1, 4 * A // 128, 128)
     return Tree(
         rows=rows,
-        node_states=node_states,
+        root_state=root_states,
         root_visit=jnp.zeros((B,), jnp.int32),
         root_vsum=jnp.zeros((B,), vdt),
         node_count=jnp.ones((B,), jnp.int32),
@@ -182,51 +170,48 @@ def _renorm_priors(policy: jax.Array, legal: jax.Array, vdt) -> jax.Array:
                      legal.astype(vdt) / n_legal)
 
 
-def _row_read(arr: jax.Array, idx: jax.Array) -> jax.Array:
-    """arr[b, idx[b]] — ONE varying-index row read per game."""
-    return jax.vmap(lambda a, i: a[i])(arr, idx)
-
-
 # -----------------------------------------------------------------------------
-# One simulation: descend -> allocate -> evaluate -> expand -> backprop
+# One simulation: descend -> replay leaf state -> evaluate -> expand -> backprop
 # -----------------------------------------------------------------------------
 
-def _descend(tree: Tree, spec: SearchSpec):
+def _descend(rows: jax.Array, root_visit: jax.Array, spec: SearchSpec):
     """PUCT descent for every game in lockstep.
 
-    Returns (cur, needs_alloc, alloc_action, depth, path_nodes,
-    path_actions): ``cur`` is the node whose edge (cur, alloc_action) needs
-    a new child when ``needs_alloc``, else an existing leaf (terminal or
-    unexpanded root). ``depth`` counts recorded path edges; the path buffers
-    are written at batch-uniform column indices (free).
+    ``rows`` is threaded through the loop and returned so downstream stages
+    consume this loop's output. Returns (rows, needs_alloc, depth,
+    path_nodes, path_actions): the walked edges are (path_nodes[d],
+    path_actions[d]) for d < depth; when ``needs_alloc`` the last edge is
+    the one that needs a new child, otherwise the walk stopped on an
+    existing leaf (terminal node or unexpanded root).
     """
-    B = tree.root_visit.shape[0]
-    N = tree.node_states.shape[1]
+    B = root_visit.shape[0]
+    N = rows.shape[1] - 1
     A = spec.num_actions
     vdt = spec.value_dtype
     iota_a = jnp.arange(A)
     neg_inf = jnp.asarray(-jnp.inf, vdt)
 
     def cond(c):
-        return jnp.any(~c[2])
+        return jnp.any(~c[3])
 
     def body(c):
-        (cur, n_cur, stopped, needs_alloc, alloc_action, depth,
+        (rows, cur, n_cur, stopped, needs_alloc, depth,
          path_nodes, path_actions, d) = c
 
-        row = _row_read(tree.rows, cur)                       # (B, 4, A)
-        child = row[:, P_CHILD]
+        row = kernels.fetch_rows(rows, cur)                   # (B, 4A)
+        child = row[:, :A]
+        prior = row[:, A:2 * A]
+        ev = row[:, 2 * A:3 * A]
+        evs = row[:, 3 * A:]
+
         legal = child > (ILLEGAL + 0.5)
         live = jnp.any(legal, axis=-1) & ~stopped
 
-        ev = row[:, P_VISIT]
-        visited = ev > 0
-        q = jnp.where(visited,
-                      -row[:, P_VSUM] / jnp.maximum(ev, 1),
+        q = jnp.where(ev > 0, -evs / jnp.maximum(ev, 1),
                       jnp.zeros((), vdt))
         cs = jnp.asarray(spec.c_puct, vdt) * jnp.sqrt(
             jnp.maximum(n_cur, 1))
-        u = row[:, P_PRIOR] * cs[:, None] / (1 + ev)
+        u = prior * cs[:, None] / (1 + ev)
         score = jnp.where(legal, q + u, neg_inf)
         a = jnp.argmax(score, axis=-1).astype(jnp.int32)      # (B,)
 
@@ -246,57 +231,76 @@ def _descend(tree: Tree, spec: SearchSpec):
             path_actions, a[:, None], (z, d))
 
         return (
+            rows,
             jnp.where(descend, child_a.astype(jnp.int32), cur),
             jnp.where(descend, ev_a, n_cur),
             stopped | ~live | alloc_here,
             needs_alloc | alloc_here,
-            jnp.where(alloc_here, a, alloc_action),
             depth + live.astype(jnp.int32),
             path_nodes, path_actions, d + 1,
         )
 
     init = (
+        rows,
         jnp.zeros((B,), jnp.int32),                 # cur = root
-        tree.root_visit.astype(vdt),                # N_parent at root
+        root_visit.astype(vdt),                     # N_parent at root
         jnp.zeros((B,), jnp.bool_),                 # stopped
         jnp.zeros((B,), jnp.bool_),                 # needs_alloc
-        jnp.zeros((B,), jnp.int32),                 # alloc_action
         jnp.zeros((B,), jnp.int32),                 # depth (edges)
         jnp.zeros((B, N), jnp.int32),               # path_nodes
         jnp.zeros((B, N), jnp.int32),               # path_actions
         jnp.int32(0),                               # level counter
     )
-    (cur, _, _, needs_alloc, alloc_action, depth,
+    (rows, _, _, _, needs_alloc, depth,
      path_nodes, path_actions, _) = jax.lax.while_loop(cond, body, init)
-    return cur, needs_alloc, alloc_action, depth, path_nodes, path_actions
+    return rows, needs_alloc, depth, path_nodes, path_actions
+
+
+def _replay_to_leaf(root_state: env.EnvState, path_actions: jax.Array,
+                    depth: jax.Array) -> env.EnvState:
+    """Leaf state = root state stepped along the recorded path actions.
+
+    Dense vector math per level (no gathers); for the edge that allocates a
+    new node the fold already yields the NEW child's state, for walks that
+    stop on an existing node it yields that node's state.
+    """
+    B = depth.shape[0]
+    max_depth = jnp.max(depth)
+
+    def cond(c):
+        return c[0] < max_depth
+
+    def body(c):
+        d, state = c
+        z = jnp.zeros_like(d)
+        act = jax.lax.dynamic_slice(path_actions, (z, d), (B, 1))[:, 0]
+        stepped = env.step(state, act)
+        active = d < depth
+
+        def pick(new, old):
+            m = active.reshape(active.shape + (1,) * (new.ndim - active.ndim))
+            return jnp.where(m, new, old)
+
+        return d + 1, jax.tree_util.tree_map(pick, stepped, state)
+
+    _, leaf = jax.lax.while_loop(cond, body, (jnp.int32(0), root_state))
+    return leaf
 
 
 def _simulate_once(tree: Tree, eval_fn: Evaluator, spec: SearchSpec,
                    eval_ctx=None) -> Tree:
     B = tree.root_visit.shape[0]
-    N = tree.node_states.shape[1]
+    A = spec.num_actions
     vdt = spec.value_dtype
     s = tree.next_slot                       # this simulation's fresh slot
-    trash = jnp.int32(N)                     # masked updates land here
+    trash = jnp.int32(tree.rows.shape[1] - 1)   # slot N
 
     # (1) selection
-    (cur, needs_alloc, alloc_action, depth,
-     path_nodes, path_actions) = _descend(tree, spec)
+    rows, needs_alloc, depth, path_nodes, path_actions = _descend(
+        tree.rows, tree.root_visit, spec)
 
-    # (2) leaf state: step the parent state for new nodes; existing leaves
-    # (terminal nodes / unexpanded roots) keep their stored state.
-    cur_state = unpack_state(_row_read(tree.node_states, cur))
-    stepped = env.step(cur_state, alloc_action)
-    sel = needs_alloc
-
-    def pick(new, old):
-        m = sel.reshape(sel.shape + (1,) * (new.ndim - sel.ndim))
-        return jnp.where(m, new, old)
-
-    leaf_state = jax.tree_util.tree_map(pick, stepped, cur_state)
-    z = jnp.zeros_like(s)
-    node_states = jax.lax.dynamic_update_slice(
-        tree.node_states, pack_state(leaf_state)[:, None, :], (z, s, z))
+    # (2) leaf state via path replay (dense; no per-node state storage)
+    leaf_state = _replay_to_leaf(tree.root_state, path_actions, depth)
 
     # (3) one batched network evaluation (the MXU step)
     planes = env.encoded_state(leaf_state)
@@ -307,8 +311,9 @@ def _simulate_once(tree: Tree, eval_fn: Evaluator, spec: SearchSpec,
         is_term, env.terminal_value_for_player_to_move(leaf_state),
         value.astype(jnp.float32)).astype(vdt)
 
-    # (4) expand the fresh slot (batch-uniform row write; games that did not
-    # allocate write the slot's initial values back — their slot is unused).
+    # (4) expand the fresh slot (batch-uniform row write; games that did
+    # not allocate write the slot's initial values back — slot unused).
+    # child+prior = 2A = 384 = 3*128 flat entries: an aligned 4-D box.
     legal = env.legal_action_mask(leaf_state)
     priors = _renorm_priors(policy, legal, vdt)
     do_expand = (needs_alloc & ~is_term)[:, None]
@@ -316,16 +321,18 @@ def _simulate_once(tree: Tree, eval_fn: Evaluator, spec: SearchSpec,
                           jnp.where(legal, UNALLOCATED, ILLEGAL),
                           ILLEGAL).astype(vdt)
     prior_row = jnp.where(do_expand, priors, 0).astype(vdt)
-    rows = jax.lax.dynamic_update_slice(
-        tree.rows, jnp.stack([child_row, prior_row], axis=1)[:, None],
-        (z, s, z, z))
+    z = jnp.zeros_like(s)
+    upd_rows = jnp.concatenate([child_row, prior_row], axis=-1).reshape(
+        B, 1, 2 * A // 128, 128)
+    rows = jax.lax.dynamic_update_slice(rows, upd_rows, (z, s, z, z))
 
-    # (5) backprop: walk the recorded path top-down; each level is ONE fused
-    # scatter-add updating [child ptr | prior | visit | vsum] together. The
-    # child pointer write rides the last edge's update: the plane holds -1
-    # (UNALLOCATED), so adding s+1 turns it into the slot index.
-    # Edge d's child accumulates value * (-1)^(L-1-d) (leaf mover's POV at
-    # d = L-1, flipping each ply toward the root — mcts.py:337-342).
+    # (5) backprop: walk the recorded path top-down; each level commits
+    # [child ptr? | visit += 1 | vsum += signed value] for one edge per
+    # game in a single Pallas row read-modify-write. The child-pointer
+    # write rides the last edge's update: the block holds -1 (UNALLOCATED),
+    # so adding s+1 turns it into the slot index. Edge d's child
+    # accumulates value * (-1)^(L-1-d) (leaf mover's POV at d = L-1,
+    # flipping each ply toward the root — mcts.py:337-342).
     sign0 = jnp.where(depth % 2 == 1, 1.0, -1.0).astype(vdt)
     max_depth = jnp.max(depth)
 
@@ -341,13 +348,12 @@ def _simulate_once(tree: Tree, eval_fn: Evaluator, spec: SearchSpec,
         tgt = jnp.where(active, node, trash)
         is_alloc_edge = active & needs_alloc & (d == depth - 1)
         upd = jnp.stack([
-            jnp.where(is_alloc_edge, s.astype(vdt) + 1, 0),
-            jnp.zeros((B,), vdt),
+            jnp.where(is_alloc_edge, s.astype(vdt) + 1, jnp.zeros((), vdt)),
             active.astype(vdt),
-            jnp.where(active, sign0 * flip * value, 0),
-        ], axis=-1)                                           # (B, 4)
-        rows = jax.vmap(
-            lambda r, n, a, u: r.at[n, :, a].add(u))(rows, tgt, act, upd)
+            jnp.where(active, sign0 * flip * value, jnp.zeros((), vdt)),
+        ], axis=-1)                                           # (B, 3)
+        rows = kernels.commit_edges(rows, tgt, act, upd,
+                                    offsets=(0, 2 * A, 3 * A))
         return (d + 1, -flip, rows)
 
     _, _, rows = jax.lax.while_loop(
@@ -358,7 +364,6 @@ def _simulate_once(tree: Tree, eval_fn: Evaluator, spec: SearchSpec,
     root_add = -sign0 * value
     return tree.replace(
         rows=rows,
-        node_states=node_states,
         root_visit=tree.root_visit + 1,
         root_vsum=tree.root_vsum + root_add,
         node_count=tree.node_count + needs_alloc.astype(jnp.int32),
@@ -394,23 +399,27 @@ def search(
     if tree is None:
         tree = init_tree(root_states, spec)
     vdt = spec.value_dtype
+    A = spec.num_actions
 
     # Root expansion (does not count a visit — mcts.py:128-138).
-    root_state = unpack_state(tree.node_states[:, 0])
-    root_planes = env.encoded_state(root_state)
+    root_planes = env.encoded_state(tree.root_state)
     policy, _ = (eval_fn(root_planes) if eval_ctx is None
                  else eval_fn(root_planes, eval_ctx))
-    legal = env.legal_action_mask(root_state)
-    expanded = jnp.any(tree.rows[:, 0, P_CHILD, :] > (ILLEGAL + 0.5), -1)
-    need_root = (~expanded & ~root_state.done)[:, None]
+    legal = env.legal_action_mask(tree.root_state)
+    B = legal.shape[0]
+    root_flat = tree.rows[:, 0].reshape(B, -1)
+    root_child = root_flat[:, :A]
+    root_prior = root_flat[:, A:2 * A]
+    expanded = jnp.any(root_child > (ILLEGAL + 0.5), -1)
+    need_root = (~expanded & ~tree.root_state.done)[:, None]
     child_row = jnp.where(
         need_root, jnp.where(legal, UNALLOCATED, ILLEGAL).astype(vdt),
-        tree.rows[:, 0, P_CHILD, :])
+        root_child)
     prior_row = jnp.where(need_root, _renorm_priors(policy, legal, vdt),
-                          tree.rows[:, 0, P_PRIOR, :])
-    rows = tree.rows.at[:, 0, P_CHILD, :].set(child_row)
-    rows = rows.at[:, 0, P_PRIOR, :].set(prior_row)
-    tree = tree.replace(rows=rows)
+                          root_prior)
+    tree = tree.replace(rows=tree.rows.at[:, 0, :2 * A // 128].set(
+        jnp.concatenate([child_row, prior_row], axis=-1).reshape(
+            B, 2 * A // 128, 128)))
 
     if add_noise or root_noise is not None:
         if root_noise is None:
@@ -432,10 +441,12 @@ def _add_root_noise(tree: Tree, rng: jax.Array | None, spec: SearchSpec,
     is exactly a Dirichlet draw on that subset.
     """
     vdt = spec.value_dtype
-    root_prior = tree.rows[:, 0, P_PRIOR, :]                     # (B, A)
-    legal = tree.rows[:, 0, P_CHILD, :] > (ILLEGAL + 0.5)
+    A = spec.num_actions
+    B = tree.root_visit.shape[0]
+    root_flat = tree.rows[:, 0].reshape(B, -1)
+    root_prior = root_flat[:, A:2 * A]                           # (B, A)
+    legal = root_flat[:, :A] > (ILLEGAL + 0.5)
     if noise is None:
-        B, A = root_prior.shape
         gammas = jax.random.gamma(
             rng, spec.dirichlet_alpha, (B, A)).astype(vdt)
         gammas = jnp.where(legal, gammas, jnp.zeros((), vdt))
@@ -447,7 +458,11 @@ def _add_root_noise(tree: Tree, rng: jax.Array | None, spec: SearchSpec,
     eps = jnp.asarray(spec.dirichlet_epsilon, vdt)
     mixed = jnp.where(legal, (1 - eps) * root_prior + eps * noise,
                       root_prior)
-    return tree.replace(rows=tree.rows.at[:, 0, P_PRIOR, :].set(mixed))
+    # prior block = flat [A, 2A) = rows [A//128, 2A//128+...): A=192 is not
+    # 128-aligned, so write via the flat view of the single root row.
+    new_root = root_flat.at[:, A:2 * A].set(mixed).reshape(
+        B, tree.rows.shape[2], tree.rows.shape[3])
+    return tree.replace(rows=tree.rows.at[:, 0].set(new_root))
 
 
 # -----------------------------------------------------------------------------
@@ -457,7 +472,9 @@ def _add_root_noise(tree: Tree, rng: jax.Array | None, spec: SearchSpec,
 def root_child_visits(tree: Tree) -> jax.Array:
     """(B, A) visit counts of the root's children (0 for unvisited/illegal
     actions)."""
-    return tree.rows[:, 0, P_VISIT, :].astype(jnp.int32)
+    A = tree.num_actions
+    B = tree.root_visit.shape[0]
+    return tree.rows[:, 0].reshape(B, -1)[:, 2 * A:3 * A].astype(jnp.int32)
 
 
 def root_value(tree: Tree) -> jax.Array:
@@ -476,15 +493,17 @@ def root_action_probs(tree: Tree, temperature: jax.Array) -> jax.Array:
     when all visits are zero (the reference's children are exactly the legal
     actions — mcts.py:260-279).
     """
-    visits = tree.rows[:, 0, P_VISIT, :].astype(jnp.float32)     # (B, A)
+    A = tree.num_actions
+    B = tree.root_visit.shape[0]
+    root_flat = tree.rows[:, 0].reshape(B, -1)
+    visits = root_flat[:, 2 * A:3 * A].astype(jnp.float32)       # (B, A)
     t = jnp.broadcast_to(jnp.asarray(temperature, jnp.float32),
                          visits.shape[:1])[:, None]
     greedy = jax.nn.one_hot(jnp.argmax(visits, -1), visits.shape[-1],
                             dtype=jnp.float32)
     powed = jnp.power(visits, 1.0 / jnp.where(t == 0, 1.0, t))
     total = powed.sum(-1, keepdims=True)
-    legal = (tree.rows[:, 0, P_CHILD, :] > (ILLEGAL + 0.5)).astype(
-        jnp.float32)
+    legal = (root_flat[:, :A] > (ILLEGAL + 0.5)).astype(jnp.float32)
     n_legal = jnp.maximum(legal.sum(-1, keepdims=True), 1)
     tempered = jnp.where(total > 0, powed / jnp.maximum(total, 1e-30),
                          legal / n_legal)

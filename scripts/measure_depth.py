@@ -31,22 +31,22 @@ states = initial_state((B,))
 def run(states, rng):
     tree = M.init_tree(states, spec)
     # root expansion (copy of search() preamble)
-    root_state = M.unpack_state(tree.node_states[:, 0])
     from alphazero_tpu.env import breakthrough as env
+    root_state = tree.root_state
     policy, _ = eval_fn(env.encoded_state(root_state))
     legal = env.legal_action_mask(root_state)
     vdt = spec.value_dtype
     child_row = jnp.where(legal, M.UNALLOCATED, M.ILLEGAL).astype(vdt)
-    rows = tree.rows.at[:, 0, M.P_CHILD, :].set(child_row)
-    rows = rows.at[:, 0, M.P_PRIOR, :].set(
+    rows = tree.rows.at[:, 0, :, M.P_CHILD].set(child_row)
+    rows = rows.at[:, 0, :, M.P_PRIOR].set(
         M._renorm_priors(policy, legal, vdt))
     tree = tree.replace(rows=rows)
     tree = M._add_root_noise(tree, rng, spec)
 
     def body(i, carry):
         tree, dmax, dmean = carry
-        (cur, needs_alloc, alloc_action, depth, pn, pa) = M._descend(
-            tree, spec)
+        (_, needs_alloc, depth, pn, pa) = M._descend(
+            tree.rows, tree.root_visit, spec)
         dmax = jax.lax.dynamic_update_slice(
             dmax, jnp.max(depth)[None], (i,))
         dmean = jax.lax.dynamic_update_slice(

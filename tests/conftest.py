@@ -7,8 +7,11 @@ the real TPU is reserved for bench.py.
 
 import os
 
-# Force CPU unconditionally: the driver shell exports JAX_PLATFORMS=axon
-# (the TPU tunnel), so setdefault would leave tests on the real chip.
+# Force CPU unconditionally. Env vars are NOT enough here: the driver
+# image's sitecustomize registers the axon TPU plugin (and imports jax) at
+# interpreter startup, before conftest runs — so JAX_PLATFORMS set in this
+# file is ignored. jax.config.update works as long as no backend has been
+# *initialized* yet, which sitecustomize's register() does not do.
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
@@ -16,6 +19,12 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    f"tests must run on CPU, got {jax.default_backend()}")
 
 import sys
 
