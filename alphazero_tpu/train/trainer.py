@@ -10,7 +10,9 @@ artifact is re-loadable and the loop is idempotent per iteration.
 
 from __future__ import annotations
 
+import json
 import math
+import os
 import time
 from typing import Dict, List, Optional
 
@@ -54,6 +56,8 @@ class Trainer:
         self.rng = jax.random.PRNGKey(seed + 1)
         self.np_rng = np.random.default_rng(seed + 2)
         self.iteration = int(state.iteration)
+        # structured per-iteration metrics (stdout logging + JSONL file)
+        self.metrics_path = cfg.checkpoint_path("metrics.jsonl")
 
     # -- self-play ---------------------------------------------------------
     def _variables(self):
@@ -128,9 +132,11 @@ class Trainer:
         one learn() call, persist data + checkpoint."""
         t0 = time.time()
         new_examples: List = []
+        selfplay_stats: List[Dict] = []
         for b in range(self.cfg.selfplay_batches):
             examples, stats = self.execute_selfplay()
             new_examples.extend(examples)
+            selfplay_stats.append(stats)
             log.info("selfplay batch %d/%d: %d examples (%d games, %d sims)",
                      b + 1, self.cfg.selfplay_batches, stats["examples"],
                      stats["games"], stats["simulations"])
@@ -145,15 +151,31 @@ class Trainer:
         self.iteration += 1
         self.save()
 
+        total_sims = sum(s["simulations"] for s in selfplay_stats)
+        total_games = sum(s["games"] for s in selfplay_stats)
         metrics.update({
             "iteration": self.iteration,
             "examples_new": len(new_examples),
             "buffer": len(self.buffer),
             "selfplay_seconds": round(selfplay_s, 2),
             "learn_seconds": round(learn_s, 2),
+            "sims_per_sec": round(total_sims / max(selfplay_s, 1e-9), 1),
+            "games_per_hour": round(
+                3600.0 * total_games / max(selfplay_s + learn_s, 1e-9), 1),
         })
         log.info("iteration %d done: %s", self.iteration, metrics)
+        self._write_metrics(metrics)
         return metrics
+
+    def _write_metrics(self, metrics: Dict) -> None:
+        try:
+            os.makedirs(os.path.dirname(self.metrics_path) or ".",
+                        exist_ok=True)
+            with open(self.metrics_path, "a") as f:
+                f.write(json.dumps(
+                    {"ts": time.time(), **metrics}, default=float) + "\n")
+        except OSError as e:  # metrics are best-effort
+            log.warning("could not write metrics: %s", e)
 
     def train_forever(self, max_iterations: Optional[int] = None):
         self.resume()

@@ -36,7 +36,7 @@ def main():
     from alphazero_tpu.search import SearchSpec, make_net_evaluator
     from alphazero_tpu.train.selfplay import selfplay_move
 
-    num_games = int(os.environ.get("AZTPU_BENCH_GAMES", "256"))
+    num_games = int(os.environ.get("AZTPU_BENCH_GAMES", "512"))
     num_sims = int(os.environ.get("AZTPU_BENCH_SIMS", "800"))
     reps = int(os.environ.get("AZTPU_BENCH_REPS", "3"))
 
