@@ -16,6 +16,14 @@ TPU-first structure: each move is ONE compiled program (search + sampling +
 env step fused); the host loop only orchestrates move boundaries and example
 extraction. Finished games are frozen no-ops instead of being removed from
 the batch (fixed shapes), and their moves are masked out of the dataset.
+
+Deliberate divergence: the reference reuses the chosen child's subtree as
+the next move's root (parallel_trainer.py:194-198); this implementation
+searches each move from a fresh root. Re-rooting a slot-allocated batched
+tree would cost a full-tree compaction per move, and fresh 400-simulation
+searches are strictly MORE compute per move than reference reuse at equal
+sim counts, so training-signal quality is matched or better. The parity
+configs (BASELINE.json 1-2) test single searches and are unaffected.
 """
 
 from __future__ import annotations
@@ -77,6 +85,7 @@ def selfplay_games(
     rng: jax.Array,
     num_games: int | None = None,
     max_moves: int | None = None,
+    mesh=None,
 ) -> Tuple[List[Tuple[np.ndarray, np.ndarray, np.ndarray]], dict]:
     """Play ``num_games`` lockstep self-play games to completion.
 
@@ -95,6 +104,10 @@ def selfplay_games(
     )
 
     states = env.initial_state((num_games,))
+    if mesh is not None and num_games % mesh.devices.size == 0:
+        from alphazero_tpu.parallel.mesh import shard_batch
+
+        states = shard_batch(mesh, states)
     # per-game move history: (planes, probs, turn)
     history: List[List[Tuple[np.ndarray, np.ndarray, int]]] = [
         [] for _ in range(num_games)

@@ -30,6 +30,12 @@ from alphazero_tpu.train.learner import (
     create_train_state,
     train_step,
 )
+from alphazero_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    sharded_train_step,
+)
 from alphazero_tpu.train.replay import (
     ReplayBuffer,
     append_training_data,
@@ -51,6 +57,20 @@ class Trainer:
             state = create_train_state(cfg, net, variables)
         self.net = net
         self.state = state
+        # Multi-chip: shard the game/learner batch over the mesh "data"
+        # axis, replicate parameters; XLA inserts the collectives. With one
+        # device this is the identity layout (SURVEY.md §5).
+        n_dev = jax.device_count()
+        if n_dev > 1:
+            self.mesh = make_mesh()
+            self.state = replicate(self.mesh, self.state)
+            self._train_step = sharded_train_step(self.mesh, self.net, cfg)
+            log.info("training sharded over %d devices (mesh %s)",
+                     n_dev, dict(zip(self.mesh.axis_names,
+                                     self.mesh.devices.shape)))
+        else:
+            self.mesh = None
+            self._train_step = None
         self.buffer = ReplayBuffer(cfg.buffer_size,
                                    num_actions=cfg.num_actions)
         self.rng = jax.random.PRNGKey(seed + 1)
@@ -68,7 +88,8 @@ class Trainer:
         eval_fn = make_net_evaluator(self.net, self._variables())
         self.rng, k = jax.random.split(self.rng)
         examples, stats = selfplay_games(eval_fn, self.cfg, k,
-                                         num_games=num_games)
+                                         num_games=num_games,
+                                         mesh=self.mesh)
         return examples, stats
 
     # -- learning ----------------------------------------------------------
@@ -89,11 +110,19 @@ class Trainer:
             for _ in range(steps_per_epoch):
                 batch = self.buffer.sample(self.np_rng, batch_size)
                 mirror = self.np_rng.random(batch_size) < 0.5
-                self.state, metrics = train_step(
-                    self.state,
-                    tuple(jnp.asarray(x) for x in batch),
-                    jnp.asarray(mirror),
-                    self.net, self.cfg)
+                if (self.mesh is not None
+                        and batch_size % self.mesh.devices.size == 0):
+                    sharded = shard_batch(
+                        self.mesh, tuple(jnp.asarray(x) for x in batch))
+                    m_sharded = shard_batch(self.mesh, jnp.asarray(mirror))
+                    self.state, metrics = self._train_step(
+                        self.state, sharded, m_sharded)
+                else:
+                    self.state, metrics = train_step(
+                        self.state,
+                        tuple(jnp.asarray(x) for x in batch),
+                        jnp.asarray(mirror),
+                        self.net, self.cfg)
                 n_steps += 1
                 for k, v in metrics.items():
                     metrics_acc[k] = metrics_acc.get(k, 0.0) + float(v)
