@@ -1,3 +1,12 @@
-from alphazero_tpu.utils.runtime import enable_compilation_cache, setup_logging
+from alphazero_tpu.utils.runtime import (
+    enable_compilation_cache,
+    enable_debug_checks,
+    init_distributed,
+    profile_trace,
+    setup_logging,
+)
 
-__all__ = ["enable_compilation_cache", "setup_logging"]
+__all__ = [
+    "enable_compilation_cache", "enable_debug_checks", "init_distributed",
+    "profile_trace", "setup_logging",
+]

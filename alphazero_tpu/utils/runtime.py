@@ -1,7 +1,9 @@
-"""Runtime setup helpers: persistent XLA compilation cache, logging."""
+"""Runtime setup helpers: compilation cache, logging, profiling, debug
+modes, and multi-host initialization (SURVEY.md §5)."""
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import os
 
@@ -25,6 +27,44 @@ def enable_compilation_cache(cache_dir: str | None = None) -> None:
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+
+def enable_debug_checks() -> None:
+    """Development mode: raise on NaNs/Infs produced inside jitted code.
+
+    The reference has no sanitizers (single-threaded Python); the JAX-native
+    analogue is nan-debugging on the functional compute path.
+    """
+    import jax
+
+    jax.config.update("jax_debug_nans", True)
+    jax.config.update("jax_debug_infs", True)
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str = "/tmp/aztpu_profile"):
+    """``with profile_trace(): ...`` captures a device trace viewable in
+    TensorBoard/XProf; used around self-play or learner phases."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield logdir
+    finally:
+        jax.profiler.stop_trace()
+
+
+def init_distributed() -> int:
+    """Initialize the JAX multi-host runtime when launched under a cluster
+    (JAX auto-detects coordinator/process env vars on TPU pods). Returns
+    the process index. Collectives then ride ICI within a slice and DCN
+    across hosts; each host feeds its local shard of the game batch
+    (SURVEY.md §5)."""
+    import jax
+
+    if jax.process_count() == 1 and os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+    return jax.process_index()
 
 
 def setup_logging(level: int = logging.INFO) -> logging.Logger:

@@ -20,6 +20,10 @@ def add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--games", type=int, default=None)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="raise on NaN/Inf inside jitted code")
+    p.add_argument("--distributed", action="store_true",
+                   help="initialize the JAX multi-host runtime")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -63,10 +67,20 @@ def main() -> None:
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["JAX_PLATFORM_NAME"] = "cpu"
 
-    from alphazero_tpu.utils import enable_compilation_cache, setup_logging
+    from alphazero_tpu.utils import (
+        enable_compilation_cache,
+        enable_debug_checks,
+        init_distributed,
+        setup_logging,
+    )
 
     enable_compilation_cache()
     log = setup_logging()
+    if args.debug_nans:
+        enable_debug_checks()
+    if args.distributed:
+        proc = init_distributed()
+        log.info("multi-host runtime: process %d", proc)
     cfg = build_config(args)
 
     if args.command == "train":
