@@ -174,15 +174,19 @@ def _renorm_priors(policy: jax.Array, legal: jax.Array, vdt) -> jax.Array:
 # One simulation: descend -> replay leaf state -> evaluate -> expand -> backprop
 # -----------------------------------------------------------------------------
 
-def _descend(rows: jax.Array, root_visit: jax.Array, spec: SearchSpec):
+def _descend(rows: jax.Array, root_state: env.EnvState,
+             root_visit: jax.Array, spec: SearchSpec):
     """PUCT descent for every game in lockstep.
 
     ``rows`` is threaded through the loop and returned so downstream stages
-    consume this loop's output. Returns (rows, needs_alloc, depth,
-    path_nodes, path_actions): the walked edges are (path_nodes[d],
-    path_actions[d]) for d < depth; when ``needs_alloc`` the last edge is
-    the one that needs a new child, otherwise the walk stopped on an
-    existing leaf (terminal node or unexpanded root).
+    consume this loop's output. The game state is stepped alongside the
+    walk, so the loop's final state IS the leaf state (for an allocating
+    walk, the NEW child's state) — no separate path replay. Returns
+    (rows, leaf_state, needs_alloc, depth, path_nodes, path_actions): the
+    walked edges are (path_nodes[d], path_actions[d]) for d < depth; when
+    ``needs_alloc`` the last edge is the one that needs a new child,
+    otherwise the walk stopped on an existing leaf (terminal node or
+    unexpanded root).
     """
     B = root_visit.shape[0]
     N = rows.shape[1] - 1
@@ -192,10 +196,10 @@ def _descend(rows: jax.Array, root_visit: jax.Array, spec: SearchSpec):
     neg_inf = jnp.asarray(-jnp.inf, vdt)
 
     def cond(c):
-        return jnp.any(~c[3])
+        return jnp.any(~c[4])
 
     def body(c):
-        (rows, cur, n_cur, stopped, needs_alloc, depth,
+        (rows, state, cur, n_cur, stopped, needs_alloc, depth,
          path_nodes, path_actions, d) = c
 
         row = kernels.fetch_rows(rows, cur)                   # (B, 4A)
@@ -230,8 +234,18 @@ def _descend(rows: jax.Array, root_visit: jax.Array, spec: SearchSpec):
         path_actions = jax.lax.dynamic_update_slice(
             path_actions, a[:, None], (z, d))
 
+        # Step the carried state along the taken edge (dense vector math);
+        # exactly the edges recorded above, so the final state is the leaf.
+        stepped = env.step(state, a)
+
+        def pick(new, old):
+            m = live.reshape(live.shape + (1,) * (new.ndim - live.ndim))
+            return jnp.where(m, new, old)
+
+        state = jax.tree_util.tree_map(pick, stepped, state)
+
         return (
-            rows,
+            rows, state,
             jnp.where(descend, child_a.astype(jnp.int32), cur),
             jnp.where(descend, ev_a, n_cur),
             stopped | ~live | alloc_here,
@@ -242,6 +256,7 @@ def _descend(rows: jax.Array, root_visit: jax.Array, spec: SearchSpec):
 
     init = (
         rows,
+        root_state,                                 # carried game state
         jnp.zeros((B,), jnp.int32),                 # cur = root
         root_visit.astype(vdt),                     # N_parent at root
         jnp.zeros((B,), jnp.bool_),                 # stopped
@@ -251,40 +266,9 @@ def _descend(rows: jax.Array, root_visit: jax.Array, spec: SearchSpec):
         jnp.zeros((B, N), jnp.int32),               # path_actions
         jnp.int32(0),                               # level counter
     )
-    (rows, _, _, _, needs_alloc, depth,
+    (rows, leaf_state, _, _, _, needs_alloc, depth,
      path_nodes, path_actions, _) = jax.lax.while_loop(cond, body, init)
-    return rows, needs_alloc, depth, path_nodes, path_actions
-
-
-def _replay_to_leaf(root_state: env.EnvState, path_actions: jax.Array,
-                    depth: jax.Array) -> env.EnvState:
-    """Leaf state = root state stepped along the recorded path actions.
-
-    Dense vector math per level (no gathers); for the edge that allocates a
-    new node the fold already yields the NEW child's state, for walks that
-    stop on an existing node it yields that node's state.
-    """
-    B = depth.shape[0]
-    max_depth = jnp.max(depth)
-
-    def cond(c):
-        return c[0] < max_depth
-
-    def body(c):
-        d, state = c
-        z = jnp.zeros_like(d)
-        act = jax.lax.dynamic_slice(path_actions, (z, d), (B, 1))[:, 0]
-        stepped = env.step(state, act)
-        active = d < depth
-
-        def pick(new, old):
-            m = active.reshape(active.shape + (1,) * (new.ndim - active.ndim))
-            return jnp.where(m, new, old)
-
-        return d + 1, jax.tree_util.tree_map(pick, stepped, state)
-
-    _, leaf = jax.lax.while_loop(cond, body, (jnp.int32(0), root_state))
-    return leaf
+    return rows, leaf_state, needs_alloc, depth, path_nodes, path_actions
 
 
 def _simulate_once(tree: Tree, eval_fn: Evaluator, spec: SearchSpec,
@@ -295,14 +279,13 @@ def _simulate_once(tree: Tree, eval_fn: Evaluator, spec: SearchSpec,
     s = tree.next_slot                       # this simulation's fresh slot
     trash = jnp.int32(tree.rows.shape[1] - 1)   # slot N
 
-    # (1) selection
-    rows, needs_alloc, depth, path_nodes, path_actions = _descend(
-        tree.rows, tree.root_visit, spec)
+    # (1) selection + in-loop state stepping (the final carried state is
+    # the leaf state — no per-node state storage, no separate replay)
+    (rows, leaf_state, needs_alloc, depth,
+     path_nodes, path_actions) = _descend(
+        tree.rows, tree.root_state, tree.root_visit, spec)
 
-    # (2) leaf state via path replay (dense; no per-node state storage)
-    leaf_state = _replay_to_leaf(tree.root_state, path_actions, depth)
-
-    # (3) one batched network evaluation (the MXU step)
+    # (2) one batched network evaluation (the MXU step)
     planes = env.encoded_state(leaf_state)
     policy, value = (eval_fn(planes) if eval_ctx is None
                      else eval_fn(planes, eval_ctx))
@@ -311,7 +294,7 @@ def _simulate_once(tree: Tree, eval_fn: Evaluator, spec: SearchSpec,
         is_term, env.terminal_value_for_player_to_move(leaf_state),
         value.astype(jnp.float32)).astype(vdt)
 
-    # (4) expand the fresh slot (batch-uniform row write; games that did
+    # (3) expand the fresh slot (batch-uniform row write; games that did
     # not allocate write the slot's initial values back — slot unused).
     # child+prior = 2A = 384 = 3*128 flat entries: an aligned 4-D box.
     legal = env.legal_action_mask(leaf_state)
@@ -326,7 +309,7 @@ def _simulate_once(tree: Tree, eval_fn: Evaluator, spec: SearchSpec,
         B, 1, 2 * A // 128, 128)
     rows = jax.lax.dynamic_update_slice(rows, upd_rows, (z, s, z, z))
 
-    # (5) backprop: walk the recorded path top-down; each level commits
+    # (4) backprop: walk the recorded path top-down; each level commits
     # [child ptr? | visit += 1 | vsum += signed value] for one edge per
     # game in a single Pallas row read-modify-write. The child-pointer
     # write rides the last edge's update: the block holds -1 (UNALLOCATED),
