@@ -36,17 +36,19 @@ def run(states, rng):
     policy, _ = eval_fn(env.encoded_state(root_state))
     legal = env.legal_action_mask(root_state)
     vdt = spec.value_dtype
+    A = spec.num_actions
     child_row = jnp.where(legal, M.UNALLOCATED, M.ILLEGAL).astype(vdt)
-    rows = tree.rows.at[:, 0, :, M.P_CHILD].set(child_row)
-    rows = rows.at[:, 0, :, M.P_PRIOR].set(
-        M._renorm_priors(policy, legal, vdt))
-    tree = tree.replace(rows=rows)
+    prior_row = M._renorm_priors(policy, legal, vdt)
+    Bq = legal.shape[0]
+    tree = tree.replace(rows=tree.rows.at[:, 0, :2 * A // 128].set(
+        jnp.concatenate([child_row, prior_row], axis=-1).reshape(
+            Bq, 2 * A // 128, 128)))
     tree = M._add_root_noise(tree, rng, spec)
 
     def body(i, carry):
         tree, dmax, dmean = carry
-        (_, needs_alloc, depth, pn, pa) = M._descend(
-            tree.rows, tree.root_visit, spec)
+        (_, _, needs_alloc, depth, pn, pa) = M._descend(
+            tree.rows, tree.root_state, tree.root_visit, spec)
         dmax = jax.lax.dynamic_update_slice(
             dmax, jnp.max(depth)[None], (i,))
         dmean = jax.lax.dynamic_update_slice(
