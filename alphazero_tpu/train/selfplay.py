@@ -108,47 +108,62 @@ def selfplay_games(
         from alphazero_tpu.parallel.mesh import shard_batch
 
         states = shard_batch(mesh, states)
-    # per-game move history: (planes, probs, turn)
-    history: List[List[Tuple[np.ndarray, np.ndarray, int]]] = [
-        [] for _ in range(num_games)
-    ]
-    examples: List[Tuple[np.ndarray, np.ndarray, np.ndarray]] = []
-    total_moves = 0
-    total_sims = 0
 
-    for _ in range(max_moves):
-        active_before = ~np.asarray(states.done)
-        if not active_before.any():
-            break
+    # Device-side episode recording: per-move outputs stay on device and the
+    # host only syncs a done-flag every CHECK_EVERY moves, so move k+1
+    # dispatches while move k executes (a per-move np.asarray stalls the
+    # pipeline on every move — measured ~2x slower end-to-end). All
+    # transfers and the (state, pi, WL) example extraction happen once at
+    # the end, fully vectorized.
+    CHECK_EVERY = 8
+    rec_planes: List[jax.Array] = []
+    rec_probs: List[jax.Array] = []
+    rec_mover: List[jax.Array] = []
+    rec_active: List[jax.Array] = []
+
+    moves_played = 0
+    for m in range(max_moves):
+        pre_turn = states.turn
+        pre_active = ~states.done
         rng, k = jax.random.split(rng)
         states, planes, probs, actions, _ = selfplay_move(
             states, k, eval_fn, spec, cfg.temperature_threshold)
+        rec_planes.append(planes)
+        rec_probs.append(probs)
+        rec_mover.append(pre_turn)
+        rec_active.append(pre_active)
+        moves_played = m + 1
+        if (m + 1) % CHECK_EVERY == 0 and bool(np.asarray(states.done).all()):
+            break
 
-        planes_h = np.asarray(planes)
-        probs_h = np.asarray(probs)
-        turns_h = np.asarray(states.turn)  # already flipped; mover = -turn
-        done_h = np.asarray(states.done)
-        winner_h = np.asarray(states.winner)
+    # one bulk transfer of the whole episode batch
+    planes_all = np.asarray(jnp.stack(rec_planes))      # (M, B, 3, 8, 8)
+    probs_all = np.asarray(jnp.stack(rec_probs))        # (M, B, A)
+    mover_all = np.asarray(jnp.stack(rec_mover))        # (M, B)
+    active_all = np.asarray(jnp.stack(rec_active))      # (M, B)
+    winner = np.asarray(states.winner)                  # (B,)
+    finished = np.asarray(states.done)                  # (B,)
 
-        n_active = int(active_before.sum())
-        total_moves += n_active
-        total_sims += n_active * spec.num_simulations
+    # Emit (state, pi, WL-from-mover) for every move of every FINISHED game
+    # (the reference discards unfinished histories, parallel_trainer.py:201).
+    emit = active_all & finished[None, :]               # (M, B)
+    m_idx, g_idx = np.nonzero(emit)
+    white_won = (winner[g_idx] == env.WHITE).astype(np.float32)
+    mover_is_white = (mover_all[m_idx, g_idx] == env.WHITE)
+    win = np.where(mover_is_white, white_won, 1.0 - white_won)
+    wls = np.stack([win, 1.0 - win], axis=-1).astype(np.float32)
 
-        for i in np.flatnonzero(active_before):
-            history[i].append((planes_h[i], probs_h[i], int(-turns_h[i])))
-            if done_h[i]:
-                w = 1.0 if winner_h[i] == env.WHITE else 0.0
-                l = 1.0 - w
-                for s, p, mover in history[i]:
-                    wl = (np.array([w, l], np.float32) if mover == env.WHITE
-                          else np.array([l, w], np.float32))
-                    examples.append((s, p, wl))
-                history[i] = []
+    sel_planes = planes_all[m_idx, g_idx]
+    sel_probs = probs_all[m_idx, g_idx]
+    examples = [(sel_planes[j], sel_probs[j], wls[j])
+                for j in range(len(m_idx))]
 
+    total_moves = int(active_all.sum())
     stats = {
         "games": num_games,
         "moves": total_moves,
-        "simulations": total_sims,
+        "simulations": total_moves * spec.num_simulations,
         "examples": len(examples),
+        "moves_played": moves_played,
     }
     return examples, stats

@@ -8,6 +8,11 @@ compiled search program per move on the real chip and reports
 
 against the driver's north-star target of 100k sims/s/chip.
 Extra diagnostics go to stderr; stdout carries exactly one JSON line.
+
+Env knobs: AZTPU_BENCH_GAMES (512), AZTPU_BENCH_SIMS (800),
+AZTPU_BENCH_REPS (3), AZTPU_BENCH_MODE=move|selfplay — ``selfplay`` plays
+whole games to completion through the full actor loop and reports
+games/hour + env-steps/s on stderr alongside the sims/s metric.
 """
 
 import functools
@@ -61,6 +66,29 @@ def main():
         new_states, planes, probs, actions, values = selfplay_move(
             states, rng, eval_fn, spec, cfg.temperature_threshold)
         return new_states, actions
+
+    mode = os.environ.get("AZTPU_BENCH_MODE", "move")
+    if mode == "selfplay":
+        from alphazero_tpu.train.selfplay import selfplay_games
+
+        cfg2 = cfg.replace(parallel_games=num_games)
+        t0 = time.time()
+        examples, stats = selfplay_games(eval_fn, cfg2, rng)
+        dt = time.time() - t0
+        sims_per_sec = stats["simulations"] / dt
+        log(f"selfplay: {stats['games']} games, {stats['moves']} moves, "
+            f"{stats['examples']} examples in {dt:.1f}s (incl. compile); "
+            f"lockstep moves played: {stats['moves_played']}")
+        log(f"games/hour: {stats['games'] * 3600 / dt:,.0f}, "
+            f"env-steps/s: {stats['moves'] / dt:,.1f}, "
+            f"sims/s: {sims_per_sec:,.0f}")
+        print(json.dumps({
+            "metric": "mcts_sims_per_sec_per_chip",
+            "value": round(sims_per_sec, 1),
+            "unit": "sims/s",
+            "vs_baseline": round(sims_per_sec / 100_000.0, 4),
+        }))
+        return
 
     t0 = time.time()
     states2, actions = run(states, rng)
