@@ -48,6 +48,7 @@ class Config:
 
     # --- Self-play loop shape (TPU-specific; reference loops in Python) ---
     max_game_length: int = 512       # hard cap on moves per self-play game
+    continuous_selfplay: bool = True  # auto-reset finished lanes (~2x games/hr)
 
     # --- Precision ---
     inference_dtype: str = "bfloat16"  # activations in search; params stay f32

@@ -167,3 +167,142 @@ def selfplay_games(
         "moves_played": moves_played,
     }
     return examples, stats
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eval_fn", "spec", "temperature_threshold"))
+def selfplay_move_autoreset(
+    states: env.EnvState,
+    rng: jax.Array,
+    eval_fn,
+    spec: SearchSpec,
+    temperature_threshold: int,
+):
+    """One lockstep move where finished lanes immediately restart.
+
+    The TPU idiom for variable-length games in a fixed-shape batch
+    (SURVEY.md §7 hard part 3): instead of freezing finished games until the
+    whole batch ends (wasting their lanes' compute on masked no-ops for the
+    tail of the slowest game), a lane whose game just finished is reset to
+    the initial position, so every network evaluation in every lane is
+    always real work. Returns (new_states, planes, probs, ended, winner):
+    ``ended`` flags lanes whose episode completed ON this move, with
+    ``winner`` its result; new_states holds fresh games for those lanes.
+    """
+    new_states, planes, probs, actions, values = selfplay_move(
+        states, rng, eval_fn, spec, temperature_threshold)
+    ended = new_states.done
+    winner = new_states.winner
+    fresh = env.initial_state(states.turn.shape)
+
+    def pick(f, old):
+        m = ended.reshape(ended.shape + (1,) * (f.ndim - ended.ndim))
+        return jnp.where(m, f, old)
+
+    reset = jax.tree_util.tree_map(pick, fresh, new_states)
+    return reset, planes, probs, ended, winner
+
+
+def selfplay_games_continuous(
+    eval_fn,
+    cfg: Config,
+    rng: jax.Array,
+    num_games: int | None = None,
+    max_moves: int | None = None,
+    mesh=None,
+) -> Tuple[List[Tuple[np.ndarray, np.ndarray, np.ndarray]], dict]:
+    """Play AT LEAST ``num_games`` self-play games with auto-resetting lanes.
+
+    Produces the same (state, pi, WL-from-mover) example distribution as
+    ``selfplay_games`` — every completed episode contributes all of its
+    moves; episodes still in flight when the target is reached are
+    discarded, exactly like the reference discards unfinished histories.
+    Lane utilization stays ~100% instead of decaying through the batch tail.
+    """
+    num_games = num_games or cfg.parallel_games
+    max_moves = max_moves or cfg.max_game_length
+    spec = SearchSpec(
+        num_simulations=cfg.num_simulations,
+        num_actions=cfg.num_actions,
+        c_puct=cfg.c_puct,
+        dirichlet_alpha=cfg.dirichlet_alpha,
+        dirichlet_epsilon=cfg.dirichlet_epsilon,
+    )
+    B = min(num_games, cfg.parallel_games)
+
+    states = env.initial_state((B,))
+    if mesh is not None and B % mesh.devices.size == 0:
+        from alphazero_tpu.parallel.mesh import shard_batch
+
+        states = shard_batch(mesh, states)
+
+    CHECK_EVERY = 8
+    rec_planes: List[jax.Array] = []
+    rec_probs: List[jax.Array] = []
+    rec_mover: List[jax.Array] = []
+    rec_ended: List[jax.Array] = []
+    rec_winner: List[jax.Array] = []
+
+    # generous cap: resets keep lanes busy, so num_games episodes need about
+    # (num_games / B) * avg_game_length lockstep moves
+    move_cap = max_moves * (num_games // B + 2)
+    moves_played = 0
+    for m in range(move_cap):
+        pre_turn = states.turn
+        rng, k = jax.random.split(rng)
+        states, planes, probs, ended, winner = selfplay_move_autoreset(
+            states, k, eval_fn, spec, cfg.temperature_threshold)
+        rec_planes.append(planes)
+        rec_probs.append(probs)
+        rec_mover.append(pre_turn)
+        rec_ended.append(ended)
+        rec_winner.append(winner)
+        moves_played = m + 1
+        if (m + 1) % CHECK_EVERY == 0:
+            completed = int(np.asarray(jnp.stack(rec_ended).sum()))
+            if completed >= num_games:
+                break
+
+    mover_all = np.asarray(jnp.stack(rec_mover))        # (M, B)
+    ended_all = np.asarray(jnp.stack(rec_ended))        # (M, B)
+    winner_all = np.asarray(jnp.stack(rec_winner))      # (M, B)
+    planes_all = np.asarray(jnp.stack(rec_planes))      # (M, B, 3, 8, 8)
+    probs_all = np.asarray(jnp.stack(rec_probs))        # (M, B, A)
+
+    M = ended_all.shape[0]
+    # Episode id per (move, lane): number of endings strictly BEFORE m.
+    ep_id = np.zeros((M, B), np.int32)
+    ep_id[1:] = np.cumsum(ended_all[:-1], axis=0)
+    n_eps = ep_id[-1] + ended_all[-1]                   # completed per lane
+    # winner per (lane, episode): recorded at its ending move
+    max_eps = int(n_eps.max()) if M else 0
+    winner_of = np.zeros((B, max_eps + 1), np.int8)
+    em, eb = np.nonzero(ended_all)
+    winner_of[eb, ep_id[em, eb]] = winner_all[em, eb]
+    ended_flag = np.zeros((B, max_eps + 1), bool)
+    ended_flag[eb, ep_id[em, eb]] = True
+
+    # emit moves belonging to COMPLETED episodes only
+    lane = np.broadcast_to(np.arange(B)[None, :], (M, B))
+    emit = ended_flag[lane, ep_id]
+    m_idx, g_idx = np.nonzero(emit)
+    winners = winner_of[g_idx, ep_id[m_idx, g_idx]]
+    white_won = (winners == env.WHITE).astype(np.float32)
+    mover_is_white = (mover_all[m_idx, g_idx] == env.WHITE)
+    win = np.where(mover_is_white, white_won, 1.0 - white_won)
+    wls = np.stack([win, 1.0 - win], axis=-1).astype(np.float32)
+
+    sel_planes = planes_all[m_idx, g_idx]
+    sel_probs = probs_all[m_idx, g_idx]
+    examples = [(sel_planes[j], sel_probs[j], wls[j])
+                for j in range(len(m_idx))]
+
+    total_games = int(n_eps.sum())
+    stats = {
+        "games": total_games,
+        "moves": int(emit.sum()),
+        "simulations": moves_played * B * spec.num_simulations,
+        "examples": len(examples),
+        "moves_played": moves_played,
+    }
+    return examples, stats

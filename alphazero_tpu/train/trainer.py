@@ -41,7 +41,10 @@ from alphazero_tpu.train.replay import (
     append_training_data,
     load_training_data,
 )
-from alphazero_tpu.train.selfplay import selfplay_games
+from alphazero_tpu.train.selfplay import (
+    selfplay_games,
+    selfplay_games_continuous,
+)
 from alphazero_tpu.utils import setup_logging
 
 log = setup_logging()
@@ -87,9 +90,10 @@ class Trainer:
     def execute_selfplay(self, num_games: Optional[int] = None):
         eval_fn = make_net_evaluator(self.net, self._variables())
         self.rng, k = jax.random.split(self.rng)
-        examples, stats = selfplay_games(eval_fn, self.cfg, k,
-                                         num_games=num_games,
-                                         mesh=self.mesh)
+        play = (selfplay_games_continuous if self.cfg.continuous_selfplay
+                else selfplay_games)
+        examples, stats = play(eval_fn, self.cfg, k, num_games=num_games,
+                               mesh=self.mesh)
         return examples, stats
 
     # -- learning ----------------------------------------------------------
@@ -162,13 +166,26 @@ class Trainer:
         t0 = time.time()
         new_examples: List = []
         selfplay_stats: List[Dict] = []
-        for b in range(self.cfg.selfplay_batches):
-            examples, stats = self.execute_selfplay()
+        if self.cfg.continuous_selfplay:
+            # one continuous auto-resetting run for the whole iteration's
+            # game budget — stopping discards in-flight episodes, so fewer,
+            # longer runs waste less
+            target = self.cfg.selfplay_batches * self.cfg.parallel_games
+            examples, stats = self.execute_selfplay(num_games=target)
             new_examples.extend(examples)
             selfplay_stats.append(stats)
-            log.info("selfplay batch %d/%d: %d examples (%d games, %d sims)",
-                     b + 1, self.cfg.selfplay_batches, stats["examples"],
-                     stats["games"], stats["simulations"])
+            log.info("selfplay: %d examples (%d games, %d sims)",
+                     stats["examples"], stats["games"],
+                     stats["simulations"])
+        else:
+            for b in range(self.cfg.selfplay_batches):
+                examples, stats = self.execute_selfplay()
+                new_examples.extend(examples)
+                selfplay_stats.append(stats)
+                log.info(
+                    "selfplay batch %d/%d: %d examples (%d games, %d sims)",
+                    b + 1, self.cfg.selfplay_batches, stats["examples"],
+                    stats["games"], stats["simulations"])
         selfplay_s = time.time() - t0
 
         self.buffer.add(new_examples)

@@ -69,11 +69,16 @@ def main():
 
     mode = os.environ.get("AZTPU_BENCH_MODE", "move")
     if mode == "selfplay":
-        from alphazero_tpu.train.selfplay import selfplay_games
+        from alphazero_tpu.train.selfplay import (
+            selfplay_games,
+            selfplay_games_continuous,
+        )
 
         cfg2 = cfg.replace(parallel_games=num_games)
+        play = (selfplay_games_continuous if cfg2.continuous_selfplay
+                else selfplay_games)
         t0 = time.time()
-        examples, stats = selfplay_games(eval_fn, cfg2, rng)
+        examples, stats = play(eval_fn, cfg2, rng)
         dt = time.time() - t0
         sims_per_sec = stats["simulations"] / dt
         log(f"selfplay: {stats['games']} games, {stats['moves']} moves, "

@@ -149,3 +149,40 @@ class TestEndToEnd:
         a = jax.tree_util.tree_leaves(tr.state.params)[0]
         b = jax.tree_util.tree_leaves(tr2.state.params)[0]
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestContinuousSelfplay:
+    def test_autoreset_produces_complete_episodes(self, tmp_path):
+        import jax
+
+        from alphazero_tpu.models import init_network
+        from alphazero_tpu.search.mcts import make_net_evaluator
+        from alphazero_tpu.train.selfplay import (
+            selfplay_games,
+            selfplay_games_continuous,
+        )
+
+        cfg = tiny_config(num_blocks=2, num_filters=8, num_simulations=8,
+                          parallel_games=4)
+        net, variables = init_network(cfg, jax.random.PRNGKey(0))
+        eval_fn = make_net_evaluator(net, variables)
+
+        examples, stats = selfplay_games_continuous(
+            eval_fn, cfg, jax.random.PRNGKey(1), num_games=6)
+        assert stats["games"] >= 6
+        assert stats["examples"] == stats["moves"] == len(examples)
+        # every example well-formed: policy sums to 1 over legal actions,
+        # wl is a one-hot win/loss pair
+        for s, p, wl in examples[:50]:
+            assert s.shape == (3, 8, 8)
+            np.testing.assert_allclose(p.sum(), 1.0, atol=1e-4)
+            assert sorted(wl.tolist()) == [0.0, 1.0]
+
+        # the WL-signal should be internally consistent with the classic
+        # (non-resetting) generator: both emit (win, loss) from the mover's
+        # perspective, so the mean of wl[0] is ~0.5 in both
+        ex2, _ = selfplay_games(eval_fn, cfg, jax.random.PRNGKey(1),
+                                num_games=4)
+        w1 = np.mean([e[2][0] for e in examples])
+        w2 = np.mean([e[2][0] for e in ex2])
+        assert 0.2 < w1 < 0.8 and 0.2 < w2 < 0.8
