@@ -25,7 +25,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-SLOTS = 8  # outstanding DMAs per pipeline
+SLOTS = int(__import__("os").environ.get("AZTPU_DMA_SLOTS", "16"))
+# outstanding DMAs per pipeline (env-tunable for A/B on hardware)
 
 
 def _tpu() -> bool:
