@@ -108,8 +108,10 @@ class Trainer:
             return {}
 
         steps_per_epoch = max(1, math.ceil(2 * len(self.buffer) / batch_size))
-        metrics_acc: Dict[str, float] = {}
-        n_steps = 0
+        # Metrics stay on device until the end: converting per step
+        # (float(v)) blocks the host on every step and serializes the
+        # dispatch pipeline.
+        step_metrics: List[Dict] = []
         for _ in range(epochs):
             for _ in range(steps_per_epoch):
                 batch = self.buffer.sample(self.np_rng, batch_size)
@@ -127,13 +129,14 @@ class Trainer:
                         tuple(jnp.asarray(x) for x in batch),
                         jnp.asarray(mirror),
                         self.net, self.cfg)
-                n_steps += 1
-                for k, v in metrics.items():
-                    metrics_acc[k] = metrics_acc.get(k, 0.0) + float(v)
+                step_metrics.append(metrics)
 
         self.state = self.state.replace(
             learn_calls=self.state.learn_calls + 1)
-        return {k: v / n_steps for k, v in metrics_acc.items()}
+        n_steps = len(step_metrics)
+        host = jax.device_get(step_metrics)
+        return {k: float(np.mean([m[k] for m in host]))
+                for k in host[0]}
 
     # -- persistence ---------------------------------------------------------
     def save(self, iteration: Optional[int] = None) -> str:
