@@ -4,7 +4,7 @@ A from-scratch re-design of the reference's dict-of-Nodes search
 (/root/reference/src/mcts.py) as fixed-size arrays + XLA control flow, so an
 entire N-simulation search over thousands of games compiles to ONE program.
 
-Layout (v6), driven by measured TPU cost asymmetries (scripts/microbench_*)
+Layout, driven by measured TPU cost asymmetries (scripts/microbench_*)
 and optimized-HLO inspection:
 
 - scatter/gather ops with *per-game varying* indices are lane-serialized
