@@ -29,7 +29,7 @@ configs (BASELINE.json 1-2) test single searches and are unaffected.
 from __future__ import annotations
 
 import functools
-from typing import Callable, List, Tuple
+from typing import List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -55,6 +55,25 @@ def test_commit_edges_duplicate_nodes_across_games(data):
     np.testing.assert_array_equal(got, want)
 
 
+def test_kernels_with_batch_not_multiple_of_slots():
+    # pipeline correctness when B % SLOTS != 0 and B < SLOTS
+    for b in (3, 12):
+        key = jax.random.PRNGKey(b)
+        rows = jax.random.normal(key, (b, 9, RS, L), jnp.float32)
+        node = jax.random.randint(key, (b,), 0, 9)
+        act = jax.random.randint(key, (b,), 0, A)
+        upd = jax.random.normal(key, (b, 3), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got_f = np.asarray(K._fetch_rows_tpu(rows, node))
+            got_c = np.asarray(
+                K._commit_edges_tpu(rows, node, act, upd, OFFSETS))
+        np.testing.assert_array_equal(
+            got_f, np.asarray(K._fetch_rows_xla(rows, node)))
+        np.testing.assert_array_equal(
+            got_c,
+            np.asarray(K._commit_edges_xla(rows, node, act, upd, OFFSETS)))
+
+
 def test_fallback_semantics():
     # The XLA fallback itself: single known update lands where expected.
     rows = jnp.zeros((2, 3, RS, L), jnp.float32)
