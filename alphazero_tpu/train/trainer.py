@@ -191,7 +191,11 @@ class Trainer:
                     stats["games"], stats["simulations"])
         selfplay_s = time.time() - t0
 
-        self.buffer.add(new_examples)
+        if new_examples:
+            self.buffer.add_arrays(
+                np.stack([e[0] for e in new_examples]),
+                np.stack([e[1] for e in new_examples]),
+                np.stack([e[2] for e in new_examples]))
         t1 = time.time()
         metrics = self.learn()
         learn_s = time.time() - t1
