@@ -64,7 +64,10 @@ def select_matchup(state: ArenaState,
 
 def load_model_variables(cfg: Config, path: str):
     """Rebuild (net, variables) from a checkpoint, honoring the arch stored
-    with it (reference arena.py:216-229)."""
+    with it (reference arena.py:216-229). The returned net computes at
+    cfg.inference_dtype (params stay f32)."""
+    import jax.numpy as jnp
+
     arch = ckpt.checkpoint_arch(path)
     model_cfg = cfg.replace(num_blocks=arch["num_blocks"],
                             num_filters=arch["num_filters"],
@@ -72,6 +75,7 @@ def load_model_variables(cfg: Config, path: str):
     net, variables = init_network(model_cfg, jax.random.PRNGKey(0))
     template = create_train_state(model_cfg, net, variables)
     state = ckpt.load_checkpoint(path, template)
+    net = net.clone(dtype=jnp.dtype(cfg.inference_dtype))
     return net, {"params": state.params, "batch_stats": state.batch_stats}
 
 

@@ -307,16 +307,21 @@ class Search:
         hist = self._history
 
         def key(m):
-            s = hist.get(m, 0)
             to_bit = 1 << m[1]
+            s = 0
             if m == tt_move:
                 s += _ORD_TT
             if to_bit & final:
                 s += _ORD_PROMO
             if to_bit & opp:
                 s += _ORD_CAPTURE
-            if m == killers[0] or m == killers[1]:
-                s += _ORD_KILLER
+            elif not (to_bit & final):
+                # killer/history apply to quiet moves only (reference
+                # baseline/search.py:263-285); unbounded history scores
+                # must not outrank genuine captures
+                if m == killers[0] or m == killers[1]:
+                    s += _ORD_KILLER
+                s += hist.get(m, 0)
             return -s
 
         moves.sort(key=key)

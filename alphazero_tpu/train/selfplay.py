@@ -79,6 +79,19 @@ def selfplay_move(
     return new_states, planes, probs, actions, root_value(tree)
 
 
+
+def _emit_examples(planes_all, probs_all, mover_all, m_idx, g_idx, winners):
+    """(state, pi, WL-from-mover) examples for the selected (move, game)
+    pairs (reference parallel_trainer.py:205-210)."""
+    white_won = (winners == env.WHITE).astype(np.float32)
+    mover_is_white = (mover_all[m_idx, g_idx] == env.WHITE)
+    win = np.where(mover_is_white, white_won, 1.0 - white_won)
+    wls = np.stack([win, 1.0 - win], axis=-1).astype(np.float32)
+    sel_planes = planes_all[m_idx, g_idx]
+    sel_probs = probs_all[m_idx, g_idx]
+    return [(sel_planes[j], sel_probs[j], wls[j]) for j in range(len(m_idx))]
+
+
 def selfplay_games(
     eval_fn,
     cfg: Config,
@@ -148,21 +161,14 @@ def selfplay_games(
     # (the reference discards unfinished histories, parallel_trainer.py:201).
     emit = active_all & finished[None, :]               # (M, B)
     m_idx, g_idx = np.nonzero(emit)
-    white_won = (winner[g_idx] == env.WHITE).astype(np.float32)
-    mover_is_white = (mover_all[m_idx, g_idx] == env.WHITE)
-    win = np.where(mover_is_white, white_won, 1.0 - white_won)
-    wls = np.stack([win, 1.0 - win], axis=-1).astype(np.float32)
+    examples = _emit_examples(planes_all, probs_all, mover_all,
+                              m_idx, g_idx, winner[g_idx])
 
-    sel_planes = planes_all[m_idx, g_idx]
-    sel_probs = probs_all[m_idx, g_idx]
-    examples = [(sel_planes[j], sel_probs[j], wls[j])
-                for j in range(len(m_idx))]
-
-    total_moves = int(active_all.sum())
     stats = {
-        "games": num_games,
-        "moves": total_moves,
-        "simulations": total_moves * spec.num_simulations,
+        "games": int(finished.sum()),                   # completed games
+        "moves": int(emit.sum()),                       # emitted moves
+        # compute performed: every lane runs every lockstep move
+        "simulations": moves_played * num_games * spec.num_simulations,
         "examples": len(examples),
         "moves_played": moves_played,
     }
@@ -247,6 +253,7 @@ def selfplay_games_continuous(
     # (num_games / B) * avg_game_length lockstep moves
     move_cap = max_moves * (num_games // B + 2)
     moves_played = 0
+    completed = 0
     for m in range(move_cap):
         pre_turn = states.turn
         rng, k = jax.random.split(rng)
@@ -259,7 +266,8 @@ def selfplay_games_continuous(
         rec_winner.append(winner)
         moves_played = m + 1
         if (m + 1) % CHECK_EVERY == 0:
-            completed = int(np.asarray(jnp.stack(rec_ended).sum()))
+            completed += int(np.asarray(
+                jnp.stack(rec_ended[-CHECK_EVERY:]).sum()))
             if completed >= num_games:
                 break
 
@@ -287,15 +295,8 @@ def selfplay_games_continuous(
     emit = ended_flag[lane, ep_id]
     m_idx, g_idx = np.nonzero(emit)
     winners = winner_of[g_idx, ep_id[m_idx, g_idx]]
-    white_won = (winners == env.WHITE).astype(np.float32)
-    mover_is_white = (mover_all[m_idx, g_idx] == env.WHITE)
-    win = np.where(mover_is_white, white_won, 1.0 - white_won)
-    wls = np.stack([win, 1.0 - win], axis=-1).astype(np.float32)
-
-    sel_planes = planes_all[m_idx, g_idx]
-    sel_probs = probs_all[m_idx, g_idx]
-    examples = [(sel_planes[j], sel_probs[j], wls[j])
-                for j in range(len(m_idx))]
+    examples = _emit_examples(planes_all, probs_all, mover_all,
+                              m_idx, g_idx, winners)
 
     total_games = int(n_eps.sum())
     stats = {

@@ -87,8 +87,20 @@ class Trainer:
         return {"params": self.state.params,
                 "batch_stats": self.state.batch_stats}
 
+    def _inference_net(self):
+        """A compute-dtype twin of the training net for search inference
+        (params stay f32; activations run at cfg.inference_dtype — the
+        benchmarked MXU configuration)."""
+        import jax.numpy as jnp_
+
+        dtype = jnp_.dtype(self.cfg.inference_dtype)
+        if dtype == self.net.dtype:
+            return self.net
+        return self.net.clone(dtype=dtype)
+
     def execute_selfplay(self, num_games: Optional[int] = None):
-        eval_fn = make_net_evaluator(self.net, self._variables())
+        eval_fn = make_net_evaluator(self._inference_net(),
+                                     self._variables())
         self.rng, k = jax.random.split(self.rng)
         play = (selfplay_games_continuous if self.cfg.continuous_selfplay
                 else selfplay_games)

@@ -55,15 +55,14 @@ def profile_trace(logdir: str = "/tmp/aztpu_profile"):
 
 
 def init_distributed() -> int:
-    """Initialize the JAX multi-host runtime when launched under a cluster
-    (JAX auto-detects coordinator/process env vars on TPU pods). Returns
-    the process index. Collectives then ride ICI within a slice and DCN
-    across hosts; each host feeds its local shard of the game batch
-    (SURVEY.md §5)."""
+    """Initialize the JAX multi-host runtime (must run before any backend
+    use — do not query devices/process_count first). JAX auto-detects the
+    coordinator/process env on TPU pods. Returns the process index.
+    Collectives then ride ICI within a slice and DCN across hosts; each
+    host feeds its local shard of the game batch (SURVEY.md §5)."""
     import jax
 
-    if jax.process_count() == 1 and os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    jax.distributed.initialize()
     return jax.process_index()
 
 

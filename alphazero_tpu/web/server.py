@@ -22,7 +22,6 @@ time budget (web.py:201-231).
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import threading
@@ -86,9 +85,13 @@ class BotService:
         from alphazero_tpu.search.mcts import make_net_evaluator
 
         if path is None:
+            import jax.numpy as jnp
+
             from alphazero_tpu.models import init_network
 
-            net, variables = init_network(self.cfg, jax.random.PRNGKey(0))
+            net, variables = init_network(
+                self.cfg, jax.random.PRNGKey(0),
+                dtype=jnp.dtype(self.cfg.inference_dtype))
         else:
             from alphazero_tpu.arena.runner import load_model_variables
 
