@@ -79,7 +79,15 @@ def sharded_selfplay_move(mesh: Mesh, eval_fn, spec: SearchSpec,
     entire search tree inherits the game-axis sharding from the input
     states (shard them with ``shard_batch``); per-game tree walks are
     embarrassingly parallel, and each simulation's batched net forward runs
-    data-parallel with replicated weights."""
+    data-parallel with replicated weights.
+
+    Multi-chip TPU note: the search's Pallas tree kernels dispatch on the
+    backend (search/kernels.py) and are exercised per-shard. XLA's SPMD
+    partitioner handles the batch-leading custom calls here because every
+    operand is sharded on the same leading axis; if a future XLA version
+    rejects that, wrap this function's body in ``jax.shard_map`` over the
+    "data" axis (each shard then runs the identical single-chip program).
+    The CPU-mesh dry run exercises the XLA fallback path."""
 
     def move(states, rng):
         return selfplay_move(states, rng, eval_fn, spec,
