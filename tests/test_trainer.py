@@ -240,3 +240,46 @@ class TestShardedEquivalence:
         for a, b in zip(pa, pb):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=5e-4, rtol=5e-3)
+
+    def test_autoreset_lane_restarts_at_initial_position(self):
+        import jax
+        import jax.numpy as jnp
+
+        from alphazero_tpu.env import breakthrough as env
+        from alphazero_tpu.search import SearchSpec
+        from alphazero_tpu.train.selfplay import selfplay_move_autoreset
+
+        # lane 0: White one step from winning; lane 1: fresh game
+        board = np.zeros((8, 8), np.int8)
+        board[6, 3] = 1   # white pawn one move from the far row
+        board[0, 0] = -1  # lone black pawn (keeps the game legal)
+        states = env.EnvState(
+            board=jnp.asarray(np.stack([board, np.asarray(
+                env._initial_board_np())])),
+            turn=jnp.asarray([1, 1], jnp.int8),
+            winner=jnp.zeros((2,), jnp.int8),
+            done=jnp.zeros((2,), bool),
+            move_count=jnp.asarray([30, 0], jnp.int32),
+        )
+
+        def greedy_eval(planes):
+            B = planes.shape[0]
+            return (jnp.full((B, 192), 1 / 192, jnp.float32),
+                    jnp.zeros((B,), jnp.float32))
+
+        spec = SearchSpec(num_simulations=32)
+        # temp threshold 0 -> argmax move; 32 sims strongly favor the win
+        new_states, planes, probs, ended, winner = jax.jit(
+            lambda s: selfplay_move_autoreset(
+                s, jax.random.PRNGKey(0), greedy_eval, spec, 0))(states)
+
+        ended = np.asarray(ended)
+        assert ended[0] and not ended[1]
+        assert int(np.asarray(winner)[0]) == 1     # White won lane 0
+        # lane 0 restarted at the initial position with a reset move clock
+        b0 = np.asarray(new_states.board[0])
+        assert (b0[0:2] == 1).all() and (b0[6:8] == -1).all()
+        assert int(new_states.move_count[0]) == 0
+        assert not bool(new_states.done[0])
+        # lane 1 just advanced normally
+        assert int(new_states.move_count[1]) == 1
