@@ -29,8 +29,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from alphazero_tpu.config import Config
 from alphazero_tpu.search.mcts import SearchSpec
-from alphazero_tpu.train.learner import TrainState, train_step
-from alphazero_tpu.train.selfplay import selfplay_move
+
+# Layering: parallel/ sits BELOW train/ (trainer.py imports this module at
+# module scope). Importing alphazero_tpu.train here at module scope closes
+# an import cycle that only bites when alphazero_tpu.parallel is imported
+# first — exactly what __graft_entry__.dryrun_multichip does — so the
+# train_step/selfplay_move imports are deferred into the factory functions
+# below. Regression-pinned by tests/test_imports.py (subprocess import).
 
 
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
@@ -62,6 +67,8 @@ def replicate(mesh: Mesh, tree):
 def sharded_train_step(mesh: Mesh, net, cfg: Config):
     """The train step compiled for the mesh: state replicated, batch sharded
     over "data". Gradient and BatchNorm reductions become XLA collectives."""
+    from alphazero_tpu.train.learner import train_step
+
     rep = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
 
@@ -88,6 +95,7 @@ def sharded_selfplay_move(mesh: Mesh, eval_fn, spec: SearchSpec,
     rejects that, wrap this function's body in ``jax.shard_map`` over the
     "data" axis (each shard then runs the identical single-chip program).
     The CPU-mesh dry run exercises the XLA fallback path."""
+    from alphazero_tpu.train.selfplay import selfplay_move
 
     def move(states, rng):
         return selfplay_move(states, rng, eval_fn, spec,
