@@ -17,6 +17,7 @@ from typing import Dict, List, Optional, Tuple
 
 from alphazero_tpu.config import Config
 from alphazero_tpu.train import checkpoint as ckpt
+from alphazero_tpu.utils import is_coordinator
 
 INITIAL_ELO = 1000.0
 K_FACTOR = 32.0
@@ -55,6 +56,8 @@ class ArenaState:
             self.match_counts[key] = self.match_counts.get(key, 0) + games
 
     def save(self) -> None:
+        if not is_coordinator():   # multi-host write discipline (utils)
+            return
         os.makedirs(os.path.dirname(self.state_file) or ".", exist_ok=True)
         data = {
             "ratings": self.ratings,

@@ -88,7 +88,8 @@ def play_paired_matches(
     Returns (wins_a, wins_b). Game 2k: A as White; game 2k+1: B as White.
     """
     sims = num_simulations or cfg.num_simulations_inference
-    spec = SearchSpec(num_simulations=sims, c_puct=cfg.c_puct)
+    spec = SearchSpec(num_simulations=sims, c_puct=cfg.c_puct,
+                      fpu_reduction=cfg.fpu_reduction)
     max_moves = max_moves or cfg.max_game_length
 
     B = 2 * len(openings)

@@ -315,10 +315,10 @@ class Search:
                 s += _ORD_PROMO
             if to_bit & opp:
                 s += _ORD_CAPTURE
-            elif not (to_bit & final):
-                # killer/history apply to quiet moves only (reference
-                # baseline/search.py:263-285); unbounded history scores
-                # must not outrank genuine captures
+            else:
+                # killer/history apply to every non-capture, including
+                # quiet promotions (reference baseline/search.py:273-285);
+                # _ORD_PROMO dominates, so on promos this only tiebreaks
                 if m == killers[0] or m == killers[1]:
                     s += _ORD_KILLER
                 s += hist.get(m, 0)

@@ -79,6 +79,11 @@ class SearchSpec:
     num_simulations: int = struct.field(pytree_node=False, default=400)
     num_actions: int = struct.field(pytree_node=False, default=192)
     c_puct: float = struct.field(pytree_node=False, default=1.5)
+    # First-play urgency: unvisited children score q = parent_Q - reduction
+    # instead of q = 0. Default 0.0 reproduces the reference exactly
+    # (FPU disabled, mcts.py:294-298); the reference's commented-out
+    # alternative (mcts.py:297, README.md:83) is this formula.
+    fpu_reduction: float = struct.field(pytree_node=False, default=0.0)
     dirichlet_alpha: float = struct.field(pytree_node=False, default=0.35)
     dirichlet_epsilon: float = struct.field(pytree_node=False, default=0.25)
     value_dtype: jnp.dtype = struct.field(pytree_node=False,
@@ -175,7 +180,8 @@ def _renorm_priors(policy: jax.Array, legal: jax.Array, vdt) -> jax.Array:
 # -----------------------------------------------------------------------------
 
 def _descend(rows: jax.Array, root_state: env.EnvState,
-             root_visit: jax.Array, spec: SearchSpec):
+             root_visit: jax.Array, root_vsum: jax.Array,
+             spec: SearchSpec):
     """PUCT descent for every game in lockstep.
 
     ``rows`` is threaded through the loop and returned so downstream stages
@@ -196,10 +202,10 @@ def _descend(rows: jax.Array, root_state: env.EnvState,
     neg_inf = jnp.asarray(-jnp.inf, vdt)
 
     def cond(c):
-        return jnp.any(~c[4])
+        return jnp.any(~c[5])       # c[5] == stopped
 
     def body(c):
-        (rows, state, cur, n_cur, stopped, needs_alloc, depth,
+        (rows, state, cur, n_cur, parent_q, stopped, needs_alloc, depth,
          path_nodes, path_actions, d) = c
 
         row = kernels.fetch_rows(rows, cur)                   # (B, 4A)
@@ -211,8 +217,16 @@ def _descend(rows: jax.Array, root_state: env.EnvState,
         legal = child > (ILLEGAL + 0.5)
         live = jnp.any(legal, axis=-1) & ~stopped
 
-        q = jnp.where(ev > 0, -evs / jnp.maximum(ev, 1),
-                      jnp.zeros((), vdt))
+        # Unvisited-child q: 0 with FPU disabled (the reference default,
+        # mcts.py:294-298); parent_Q - reduction when enabled. The branch
+        # is static, so fpu_reduction == 0.0 compiles to the exact
+        # reference-parity program.
+        if spec.fpu_reduction:
+            q_unvisited = (parent_q
+                           - jnp.asarray(spec.fpu_reduction, vdt))[:, None]
+        else:
+            q_unvisited = jnp.zeros((), vdt)
+        q = jnp.where(ev > 0, -evs / jnp.maximum(ev, 1), q_unvisited)
         cs = jnp.asarray(spec.c_puct, vdt) * jnp.sqrt(
             jnp.maximum(n_cur, 1))
         u = prior * cs[:, None] / (1 + ev)
@@ -225,6 +239,15 @@ def _descend(rows: jax.Array, root_state: env.EnvState,
 
         alloc_here = live & (child_a < (UNALLOCATED + 0.5))
         descend = live & (child_a > -0.5)
+
+        if spec.fpu_reduction:
+            # The descended-into child becomes next level's parent; its Q
+            # from its own mover's perspective is +evs/ev (edge stats are
+            # stored leaf-mover-side, see backprop).
+            evs_a = jnp.sum(jnp.where(onehot, evs, 0), axis=-1)
+            child_q = jnp.where(ev_a > 0, evs_a / jnp.maximum(ev_a, 1),
+                                jnp.zeros((), vdt))
+            parent_q = jnp.where(descend, child_q, parent_q)
 
         # Record the traversed edge at batch-uniform column d. Stopped games
         # write garbage here — harmless, backprop masks on per-game depth.
@@ -248,17 +271,22 @@ def _descend(rows: jax.Array, root_state: env.EnvState,
             rows, state,
             jnp.where(descend, child_a.astype(jnp.int32), cur),
             jnp.where(descend, ev_a, n_cur),
+            parent_q,
             stopped | ~live | alloc_here,
             needs_alloc | alloc_here,
             depth + live.astype(jnp.int32),
             path_nodes, path_actions, d + 1,
         )
 
+    root_q = jnp.where(root_visit > 0,
+                       root_vsum / jnp.maximum(root_visit, 1).astype(vdt),
+                       jnp.zeros((), vdt)).astype(vdt)
     init = (
         rows,
         root_state,                                 # carried game state
         jnp.zeros((B,), jnp.int32),                 # cur = root
         root_visit.astype(vdt),                     # N_parent at root
+        root_q,                                     # parent Q (FPU)
         jnp.zeros((B,), jnp.bool_),                 # stopped
         jnp.zeros((B,), jnp.bool_),                 # needs_alloc
         jnp.zeros((B,), jnp.int32),                 # depth (edges)
@@ -266,7 +294,7 @@ def _descend(rows: jax.Array, root_state: env.EnvState,
         jnp.zeros((B, N), jnp.int32),               # path_actions
         jnp.int32(0),                               # level counter
     )
-    (rows, leaf_state, _, _, _, needs_alloc, depth,
+    (rows, leaf_state, _, _, _, _, needs_alloc, depth,
      path_nodes, path_actions, _) = jax.lax.while_loop(cond, body, init)
     return rows, leaf_state, needs_alloc, depth, path_nodes, path_actions
 
@@ -283,7 +311,7 @@ def _simulate_once(tree: Tree, eval_fn: Evaluator, spec: SearchSpec,
     # the leaf state — no per-node state storage, no separate replay)
     (rows, leaf_state, needs_alloc, depth,
      path_nodes, path_actions) = _descend(
-        tree.rows, tree.root_state, tree.root_visit, spec)
+        tree.rows, tree.root_state, tree.root_visit, tree.root_vsum, spec)
 
     # (2) one batched network evaluation (the MXU step)
     planes = env.encoded_state(leaf_state)

@@ -95,7 +95,11 @@ def list_checkpoints(cfg: Config) -> Dict[str, str]:
 
 def sync_best_model(cfg: Config, name: str) -> None:
     """Copy checkpoint ``name`` to checkpoints/model_best
-    (reference arena.py:176-184)."""
+    (reference arena.py:176-184). Process 0 only under multi-host."""
+    from alphazero_tpu.utils import is_coordinator
+
+    if not is_coordinator():
+        return
     src = _ckpt_dir(cfg, name)
     dst = _ckpt_dir(cfg, cfg.best_model)
     if os.path.exists(src):

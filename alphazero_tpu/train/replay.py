@@ -59,8 +59,35 @@ class ReplayBuffer:
     def sample(self, rng: np.random.Generator, batch_size: int
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         idx = rng.integers(0, self.size, size=batch_size)
+        return self.get(idx)
+
+    def get(self, idx: np.ndarray
+            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         return (self.states[idx].astype(np.float32),
                 self.policies[idx], self.wls[idx])
+
+
+def epoch_batches(rng: np.random.Generator, n_examples: int,
+                  batch_size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Shuffled without-replacement epoch over the 2x-augmented dataset.
+
+    The reference's learn() iterates every example in BOTH orientations
+    exactly once per epoch via DataLoader(shuffle=True) over the mirrored
+    dataset (parallel_trainer.py:231-246). The TPU-shaped equivalent:
+    permute the 2*n_examples-sized (example, mirror) index space and chunk
+    it into fixed-size batches. Deliberate divergence from the reference's
+    smaller final batch: variable trailing shapes would recompile the train
+    step every iteration, so the tail batch is padded by wrapping to the
+    permutation head (those few pairs are seen twice per epoch).
+
+    Returns (base_idx, mirror), each (steps, batch_size): buffer row
+    indices and the per-sample mirror-augmentation flag.
+    """
+    n_aug = 2 * n_examples
+    steps = max(1, -(-n_aug // batch_size))
+    perm = rng.permutation(n_aug)
+    idx = np.resize(perm, steps * batch_size).reshape(steps, batch_size)
+    return (idx % n_examples).astype(np.int64), idx >= n_examples
 
 
 # -----------------------------------------------------------------------------

@@ -112,6 +112,7 @@ def selfplay_games(
         num_simulations=cfg.num_simulations,
         num_actions=cfg.num_actions,
         c_puct=cfg.c_puct,
+        fpu_reduction=cfg.fpu_reduction,
         dirichlet_alpha=cfg.dirichlet_alpha,
         dirichlet_epsilon=cfg.dirichlet_epsilon,
     )
@@ -231,6 +232,7 @@ def selfplay_games_continuous(
         num_simulations=cfg.num_simulations,
         num_actions=cfg.num_actions,
         c_puct=cfg.c_puct,
+        fpu_reduction=cfg.fpu_reduction,
         dirichlet_alpha=cfg.dirichlet_alpha,
         dirichlet_epsilon=cfg.dirichlet_epsilon,
     )

@@ -11,7 +11,6 @@ artifact is re-loadable and the loop is idempotent per iteration.
 from __future__ import annotations
 
 import json
-import math
 import os
 import time
 from typing import Dict, List, Optional
@@ -39,13 +38,14 @@ from alphazero_tpu.parallel.mesh import (
 from alphazero_tpu.train.replay import (
     ReplayBuffer,
     append_training_data,
+    epoch_batches,
     load_training_data,
 )
 from alphazero_tpu.train.selfplay import (
     selfplay_games,
     selfplay_games_continuous,
 )
-from alphazero_tpu.utils import setup_logging
+from alphazero_tpu.utils import is_coordinator, setup_logging
 
 log = setup_logging()
 
@@ -119,15 +119,17 @@ class Trainer:
         if len(self.buffer) == 0:
             return {}
 
-        steps_per_epoch = max(1, math.ceil(2 * len(self.buffer) / batch_size))
         # Metrics stay on device until the end: converting per step
         # (float(v)) blocks the host on every step and serializes the
         # dispatch pipeline.
         step_metrics: List[Dict] = []
         for _ in range(epochs):
-            for _ in range(steps_per_epoch):
-                batch = self.buffer.sample(self.np_rng, batch_size)
-                mirror = self.np_rng.random(batch_size) < 0.5
+            # Reference epoch semantics: every buffered example in both
+            # orientations exactly once, shuffled (see epoch_batches).
+            base_idx, mirrors = epoch_batches(
+                self.np_rng, len(self.buffer), batch_size)
+            for bi, mirror in zip(base_idx, mirrors):
+                batch = self.buffer.get(bi)
                 if (self.mesh is not None
                         and batch_size % self.mesh.devices.size == 0):
                     sharded = shard_batch(
@@ -151,10 +153,16 @@ class Trainer:
                 for k in host[0]}
 
     # -- persistence ---------------------------------------------------------
+    # Multi-host write contract: every host computes identical replicated
+    # state, so checkpoints / npz / metrics are written by process 0 only
+    # (utils.is_coordinator) — otherwise hosts race on the same files.
+
     def save(self, iteration: Optional[int] = None) -> str:
         it = self.iteration if iteration is None else iteration
         self.state = self.state.replace(
             iteration=jnp.asarray(it, jnp.int32))
+        if not is_coordinator():
+            return self.cfg.checkpoint_path(f"iteration_{it}")
         return ckpt.save_iteration_checkpoint(self.cfg, self.state, it)
 
     def resume(self) -> int:
@@ -171,6 +179,8 @@ class Trainer:
         return it
 
     def append_data(self, examples) -> int:
+        if not is_coordinator():
+            return 0
         return append_training_data(
             self.cfg.checkpoint_path(self.cfg.data_file), examples)
 
@@ -233,6 +243,8 @@ class Trainer:
         return metrics
 
     def _write_metrics(self, metrics: Dict) -> None:
+        if not is_coordinator():
+            return
         try:
             os.makedirs(os.path.dirname(self.metrics_path) or ".",
                         exist_ok=True)

@@ -54,6 +54,20 @@ def profile_trace(logdir: str = "/tmp/aztpu_profile"):
         jax.profiler.stop_trace()
 
 
+def is_coordinator() -> bool:
+    """True on the process that owns filesystem writes.
+
+    Multi-host write contract: checkpoints, the training-data npz, metrics
+    JSONL, and arena state JSON are written by process 0 ONLY — every host
+    computes identical replicated state, so host 0's copy is the one copy.
+    The reference is single-process and never needed this (SURVEY.md §5
+    distributed-backend obligation). Single-process runs always return True.
+    """
+    import jax
+
+    return jax.process_index() == 0
+
+
 def init_distributed() -> int:
     """Initialize the JAX multi-host runtime (must run before any backend
     use — do not query devices/process_count first). JAX auto-detects the

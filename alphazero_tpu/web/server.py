@@ -100,7 +100,8 @@ class BotService:
         eval_fn = make_net_evaluator(net, variables)
         spec = SearchSpec(
             num_simulations=self.cfg.num_simulations_inference,
-            c_puct=self.cfg.c_puct)
+            c_puct=self.cfg.c_puct,
+            fpu_reduction=self.cfg.fpu_reduction)
 
         @jax.jit
         def run(states):

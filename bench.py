@@ -55,6 +55,7 @@ def main():
     spec = SearchSpec(
         num_simulations=num_sims,
         c_puct=cfg.c_puct,
+        fpu_reduction=cfg.fpu_reduction,
         dirichlet_alpha=cfg.dirichlet_alpha,
         dirichlet_epsilon=cfg.dirichlet_epsilon,
     )
@@ -84,20 +85,27 @@ def main():
         log(f"selfplay: {stats['games']} games, {stats['moves']} moves, "
             f"{stats['examples']} examples in {dt:.1f}s (incl. compile); "
             f"lockstep moves played: {stats['moves_played']}")
-        log(f"games/hour: {stats['games'] * 3600 / dt:,.0f}, "
+        games_per_hour = stats["games"] * 3600 / dt
+        log(f"games/hour: {games_per_hour:,.0f}, "
             f"env-steps/s: {stats['moves'] / dt:,.1f}, "
             f"sims/s: {sims_per_sec:,.0f}")
+        # Distinct metric name: this is a single COLD run (wall time
+        # includes compilation), not comparable to move mode's
+        # warmed best-of-reps sims/s number.
         print(json.dumps({
-            "metric": "mcts_sims_per_sec_per_chip",
-            "value": round(sims_per_sec, 1),
-            "unit": "sims/s",
+            "metric": "selfplay_games_per_hour_per_chip_cold",
+            "value": round(games_per_hour, 1),
+            "unit": "games/hour",
             "vs_baseline": round(sims_per_sec / 100_000.0, 4),
         }))
         return
 
+    # Sync with np.asarray, not jax.block_until_ready: the axon backend's
+    # block is unreliable (CLAUDE.md) — a host transfer is the only
+    # trustworthy barrier for timing.
     t0 = time.time()
     states2, actions = run(states, rng)
-    jax.block_until_ready(states2)
+    np.asarray(actions)
     log(f"compile+first move: {time.time() - t0:.1f}s")
 
     best = float("inf")
@@ -106,7 +114,7 @@ def main():
         rng, k = jax.random.split(rng)
         t0 = time.time()
         cur, actions = run(cur, k)
-        jax.block_until_ready(actions)
+        np.asarray(actions)
         dt = time.time() - t0
         best = min(best, dt)
         log(f"rep {i}: {dt:.3f}s -> {num_games * num_sims / dt:,.0f} sims/s")

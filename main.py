@@ -64,8 +64,17 @@ def main() -> None:
 
     args = parser.parse_args()
     if args.cpu:
+        # Env vars alone are ignored here: the image's sitecustomize
+        # registers the TPU plugin at interpreter startup, so the platform
+        # must be pinned programmatically before any backend use (same fix
+        # as tests/conftest.py and __graft_entry__.dryrun_multichip).
         os.environ["JAX_PLATFORMS"] = "cpu"
         os.environ["JAX_PLATFORM_NAME"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.default_backend() == "cpu", (
+            f"--cpu requested but backend is {jax.default_backend()}")
 
     from alphazero_tpu.utils import (
         enable_compilation_cache,

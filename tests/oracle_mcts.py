@@ -40,11 +40,16 @@ class OracleMCTS:
     value from the mover's perspective)."""
 
     def __init__(self, eval_fn: Callable, num_simulations: int,
-                 c_puct: float = 1.5, dtype=np.float32):
+                 c_puct: float = 1.5, dtype=np.float32,
+                 fpu_reduction: float = 0.0):
         self.eval_fn = eval_fn
         self.num_simulations = num_simulations
         self.D = dtype
         self.c_puct = dtype(c_puct)
+        # 0.0 = reference default (q=0 for unvisited); > 0 enables the
+        # reference's commented-out FPU formula q = parent_Q - reduction
+        # (mcts.py:290-298), mirroring SearchSpec.fpu_reduction.
+        self.fpu_reduction = dtype(fpu_reduction)
 
     def search(self, game: OracleGame, noise: np.ndarray | None = None
                ) -> ONode:
@@ -87,11 +92,17 @@ class OracleMCTS:
         sqrt_parent = np.sqrt(D(max(1, node.visit)))
         # same scalar-combined order as the device search (_puct_scores)
         cs = self.c_puct * sqrt_parent
+        if self.fpu_reduction:
+            parent_q = (D(node.vsum / D(node.visit)) if node.visit > 0
+                        else D(0))
+            fpu_q = D(parent_q - self.fpu_reduction)
+        else:
+            fpu_q = D(0)
         best_score, best_a, best_c = -np.inf, -1, None
         for a in sorted(node.children):  # ascending action order
             ch = node.children[a]
             if ch.visit == 0:
-                q = D(0)
+                q = fpu_q
             else:
                 q = D(-(ch.vsum / D(ch.visit)))
             u = ch.prior * cs / D(1 + ch.visit)

@@ -224,6 +224,36 @@ class TestParityWithDictOracle:
                 device_visits[i], OracleMCTS.visit_counts(root),
                 err_msg=f"game {i}")
 
+    def test_visit_count_parity_with_fpu(self):
+        """fpu_reduction > 0 (the optional FPU mode, SearchSpec docstring)
+        matches the oracle running the same parent_Q - reduction formula,
+        and actually changes the search vs the q=0 default."""
+        rng = np.random.default_rng(11)
+        games = [OracleGame()] + [random_midgame(rng) for _ in range(15)]
+        games = [g if not g.is_terminal() else OracleGame() for g in games]
+        num_sims, fpu = 50, 0.2
+
+        spec = SearchSpec(num_simulations=num_sims, fpu_reduction=fpu,
+                          value_dtype=jnp.dtype("float64"))
+        with jax.enable_x64():
+            tree = jax.jit(
+                functools.partial(search, eval_fn=fake_eval_jax, spec=spec)
+            )(states_from_games(games))
+            device_visits = np.asarray(root_child_visits(tree))
+
+        oracle = OracleMCTS(fake_eval_game, num_simulations=num_sims,
+                            dtype=np.float64, fpu_reduction=fpu)
+        base = OracleMCTS(fake_eval_game, num_simulations=num_sims,
+                          dtype=np.float64)
+        any_diff = False
+        for i, g in enumerate(games):
+            expected = OracleMCTS.visit_counts(oracle.search(g))
+            np.testing.assert_array_equal(device_visits[i], expected,
+                                          err_msg=f"game {i}")
+            any_diff |= not np.array_equal(
+                expected, OracleMCTS.visit_counts(base.search(g)))
+        assert any_diff, "fpu_reduction=0.2 should change some search"
+
 
 class TestWithRealNet:
     def test_search_with_tiny_net(self):
