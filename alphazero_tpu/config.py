@@ -33,6 +33,12 @@ class Config:
     dirichlet_alpha: float = 0.35
     dirichlet_epsilon: float = 0.25
     temperature_threshold: int = 16  # tau=1 for the first N moves, then 0
+    # Between-move tree reuse in self-play (reference
+    # parallel_trainer.py:194-198 descends into the chosen child). Off by
+    # default: fresh 400-sim searches per move are the benchmarked
+    # configuration; flip on to reproduce the reference's reuse semantics
+    # (doubles search-tree memory for subtree headroom).
+    tree_reuse: bool = False
 
     # --- Training ---
     batch_size: int = 1024

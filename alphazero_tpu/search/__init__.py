@@ -1,6 +1,7 @@
 from alphazero_tpu.search.mcts import (
     SearchSpec,
     Tree,
+    advance_root,
     init_tree,
     make_net_evaluator,
     root_action_probs,
@@ -10,6 +11,6 @@ from alphazero_tpu.search.mcts import (
 )
 
 __all__ = [
-    "SearchSpec", "Tree", "init_tree", "make_net_evaluator",
+    "SearchSpec", "Tree", "advance_root", "init_tree", "make_net_evaluator",
     "root_action_probs", "root_child_visits", "root_value", "search",
 ]

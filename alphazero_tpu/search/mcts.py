@@ -84,6 +84,12 @@ class SearchSpec:
     # (FPU disabled, mcts.py:294-298); the reference's commented-out
     # alternative (mcts.py:297, README.md:83) is this formula.
     fpu_reduction: float = struct.field(pytree_node=False, default=0.0)
+    # Between-move tree reuse (reference parallel_trainer.py:194-198):
+    # advance_root() re-roots the tree at the chosen child, preserving its
+    # subtree's visits/values for the next search. Doubles tree capacity
+    # for headroom; when a reused subtree plus the next search would not
+    # fit, the whole batch falls back to fresh roots for that move.
+    tree_reuse: bool = struct.field(pytree_node=False, default=False)
     dirichlet_alpha: float = struct.field(pytree_node=False, default=0.35)
     dirichlet_epsilon: float = struct.field(pytree_node=False, default=0.25)
     value_dtype: jnp.dtype = struct.field(pytree_node=False,
@@ -91,7 +97,8 @@ class SearchSpec:
 
     @property
     def capacity(self) -> int:
-        return self.num_simulations + 1
+        return (2 * self.num_simulations + 1 if self.tree_reuse
+                else self.num_simulations + 1)
 
 
 @struct.dataclass
@@ -115,6 +122,10 @@ class Tree:
     node_count:  (B,) int32 — real allocated nodes (including the root)
     next_slot:   () int32 — next fresh slot, advanced once per simulation
                  uniformly across the batch
+    parents:     (B, N+1) int32 — each slot's parent slot (0 for the root,
+                 for unallocated slots, and for games that skipped that
+                 simulation's allocation — 0 is never inside a chosen
+                 subtree, so stale entries self-exclude in advance_root)
     """
 
     rows: jax.Array
@@ -123,6 +134,7 @@ class Tree:
     root_vsum: jax.Array
     node_count: jax.Array
     next_slot: jax.Array
+    parents: jax.Array
 
     @property
     def num_actions(self) -> int:
@@ -161,6 +173,7 @@ def init_tree(root_states: env.EnvState, spec: SearchSpec) -> Tree:
         root_vsum=jnp.zeros((B,), vdt),
         node_count=jnp.ones((B,), jnp.int32),
         next_slot=jnp.asarray(1, jnp.int32),
+        parents=jnp.zeros((B, N + 1), jnp.int32),
     )
 
 
@@ -333,9 +346,29 @@ def _simulate_once(tree: Tree, eval_fn: Evaluator, spec: SearchSpec,
                           ILLEGAL).astype(vdt)
     prior_row = jnp.where(do_expand, priors, 0).astype(vdt)
     z = jnp.zeros_like(s)
-    upd_rows = jnp.concatenate([child_row, prior_row], axis=-1).reshape(
-        B, 1, 2 * A // 128, 128)
+    if spec.tree_reuse:
+        # With reuse, slots between a game's compacted node count and the
+        # batch-uniform next_slot hold stale rows from the compaction
+        # gather — so expansion must clear the visit/vsum blocks too
+        # (without reuse every slot starts zeroed by init_tree).
+        upd_rows = jnp.concatenate(
+            [child_row, prior_row, jnp.zeros((B, 2 * A), vdt)],
+            axis=-1).reshape(B, 1, 4 * A // 128, 128)
+    else:
+        upd_rows = jnp.concatenate([child_row, prior_row], axis=-1).reshape(
+            B, 1, 2 * A // 128, 128)
     rows = jax.lax.dynamic_update_slice(rows, upd_rows, (z, s, z, z))
+
+    if spec.tree_reuse:
+        # record the fresh slot's parent edge for advance_root: the node
+        # the allocating edge originated from (path position depth-1).
+        # Games that did not allocate record parent 0 = self-excluding.
+        d_last = jnp.maximum(depth - 1, 0)[:, None]
+        par = jnp.take_along_axis(path_nodes, d_last, axis=1)[:, 0]
+        parents = jax.lax.dynamic_update_slice(
+            tree.parents, jnp.where(needs_alloc, par, 0)[:, None], (z, s))
+    else:
+        parents = tree.parents
 
     # (4) backprop: walk the recorded path top-down; each level commits
     # [child ptr? | visit += 1 | vsum += signed value] for one edge per
@@ -379,6 +412,7 @@ def _simulate_once(tree: Tree, eval_fn: Evaluator, spec: SearchSpec,
         root_vsum=tree.root_vsum + root_add,
         node_count=tree.node_count + needs_alloc.astype(jnp.int32),
         next_slot=s + 1,
+        parents=parents,
     )
 
 
@@ -441,6 +475,114 @@ def search(
         return _simulate_once(t, eval_fn, spec, eval_ctx=eval_ctx)
 
     return jax.lax.fori_loop(0, spec.num_simulations, body, tree)
+
+
+def advance_root(
+    tree: Tree,
+    actions: jax.Array,
+    new_root_state: env.EnvState,
+    spec: SearchSpec,
+    force_fresh: jax.Array | None = None,
+) -> Tree:
+    """Re-root the tree at the chosen child, preserving its subtree.
+
+    The reference descends into ``root.children[action]`` between moves
+    (parallel_trainer.py:194-198) so the next search starts from the
+    child's accumulated visits/values. For the slot-allocated batched tree
+    this is a once-per-move compaction: mark the chosen child's subtree
+    (binary lifting over the recorded parent pointers — O(log N) vectorized
+    gathers on small int arrays), renumber kept slots in ascending old-slot
+    order (children stay after parents, preserving the allocation
+    invariant), and gather the kept rows to the front. The per-game-varying
+    whole-tree gather happens ONCE per move — outside the simulation loop —
+    so the Pallas-kernel layout discipline of the hot path is untouched.
+
+    Games whose chosen action has no allocated child (never visited), plus
+    any ``force_fresh`` lanes (e.g. auto-reset), restart with an empty
+    root. If the largest kept subtree plus the next search's allocations
+    would overflow capacity, the WHOLE batch falls back to fresh roots for
+    this move (slot allocation is batch-uniform, so per-game reuse depth
+    cannot diverge).
+    """
+    assert spec.tree_reuse, "advance_root requires spec.tree_reuse"
+    vdt = spec.value_dtype
+    A = spec.num_actions
+    B, M = tree.rows.shape[:2]
+    slots = jnp.arange(M, dtype=jnp.int32)
+
+    root_flat = tree.rows[:, 0].reshape(B, -1)
+    onehot = (jnp.arange(A)[None, :] == actions[:, None])
+    child_a = jnp.sum(jnp.where(onehot, root_flat[:, :A], 0), axis=-1)
+    ev_a = jnp.sum(jnp.where(onehot, root_flat[:, 2 * A:3 * A], 0), axis=-1)
+    evs_a = jnp.sum(jnp.where(onehot, root_flat[:, 3 * A:], 0), axis=-1)
+
+    fresh = ~(child_a > 0.5)              # no allocated child to reuse
+    if force_fresh is not None:
+        fresh = fresh | force_fresh
+    r0 = jnp.where(fresh, -1, child_a).astype(jnp.int32)
+
+    # subtree membership: keep[s] iff the parent chain of s hits r0.
+    # Descendants always have larger slots than their parents (allocation
+    # order), parents of the root / of unallocated or skipped slots are 0,
+    # and slot 0 is never a chosen child — stale entries self-exclude.
+    keep = slots[None, :] == r0[:, None]
+    anc = tree.parents
+    for _ in range(max(1, (M - 1).bit_length())):
+        keep = keep | jnp.take_along_axis(keep, anc, axis=1)
+        anc = jnp.take_along_axis(anc, anc, axis=1)
+
+    keepi = keep.astype(jnp.int32)
+    new_idx = jnp.cumsum(keepi, axis=1) - keepi        # exclusive prefix
+    new_count = keepi.sum(axis=1)
+    count_eff = jnp.where(fresh, 1, jnp.maximum(new_count, 1))
+
+    # kept slots first, ascending old-slot order; r0 lands at slot 0
+    old_of = jnp.argsort(~keep, axis=1, stable=True).astype(jnp.int32)
+    flat = tree.rows.reshape(B, M, -1)
+    new_flat = jnp.take_along_axis(flat, old_of[:, :, None], axis=1)
+
+    # remap child pointers (>0.5 = real slot) through the renumbering
+    ptr = new_flat[:, :, :A]
+    vi = jnp.clip(ptr, 0, M - 1).astype(jnp.int32)
+    mapped = jnp.take_along_axis(
+        new_idx, vi.reshape(B, -1), axis=1).reshape(B, M, A).astype(vdt)
+    new_ptr = jnp.where(ptr > 0.5, mapped, ptr)
+
+    # fresh games restart with an empty, unexpanded root row
+    empty_root = jnp.concatenate(
+        [jnp.full((B, A), ILLEGAL, vdt), jnp.zeros((B, 3 * A), vdt)], -1)
+    row0 = jnp.where(fresh[:, None],
+                     empty_root,
+                     jnp.concatenate([new_ptr[:, 0], new_flat[:, 0, A:]],
+                                     axis=-1))
+    body = jnp.concatenate([new_ptr[:, 1:], new_flat[:, 1:, A:]], axis=-1)
+    new_rows = jnp.concatenate([row0[:, None], body], axis=1).reshape(
+        tree.rows.shape)
+
+    # compact + remap parent metadata; zero it beyond each game's count so
+    # garbage rows can never chain into a future subtree
+    par_g = jnp.take_along_axis(tree.parents, old_of, axis=1)
+    par_new = jnp.take_along_axis(new_idx, jnp.clip(par_g, 0, M - 1), axis=1)
+    valid = slots[None, :] < jnp.where(fresh, 1, new_count)[:, None]
+    par_new = jnp.where(valid, par_new, 0).astype(jnp.int32)
+
+    next_slot = jnp.maximum(jnp.max(count_eff), 1).astype(jnp.int32)
+    compacted = Tree(
+        rows=new_rows,
+        root_state=new_root_state,
+        root_visit=jnp.where(fresh, 0, ev_a.astype(jnp.int32)),
+        root_vsum=jnp.where(fresh, jnp.zeros((), vdt), evs_a.astype(vdt)),
+        node_count=count_eff,
+        next_slot=next_slot,
+        parents=par_new,
+    )
+
+    # capacity check: slots 0..M-2 usable (M-1 is the trash row); the next
+    # search allocates num_simulations slots starting at next_slot
+    overflow = next_slot + spec.num_simulations > M - 1
+    fresh_tree = init_tree(new_root_state, spec)
+    return jax.tree_util.tree_map(
+        lambda f, c: jnp.where(overflow, f, c), fresh_tree, compacted)
 
 
 def _add_root_noise(tree: Tree, rng: jax.Array | None, spec: SearchSpec,

@@ -17,13 +17,13 @@ env step fused); the host loop only orchestrates move boundaries and example
 extraction. Finished games are frozen no-ops instead of being removed from
 the batch (fixed shapes), and their moves are masked out of the dataset.
 
-Deliberate divergence: the reference reuses the chosen child's subtree as
-the next move's root (parallel_trainer.py:194-198); this implementation
-searches each move from a fresh root. Re-rooting a slot-allocated batched
-tree would cost a full-tree compaction per move, and fresh 400-simulation
-searches are strictly MORE compute per move than reference reuse at equal
-sim counts, so training-signal quality is matched or better. The parity
-configs (BASELINE.json 1-2) test single searches and are unaffected.
+Between-move tree reuse (reference parallel_trainer.py:194-198) is
+supported via ``Config.tree_reuse``: searches carry the chosen child's
+subtree to the next move through ``advance_root`` (a once-per-move
+compaction; see search/mcts.py). Default is OFF — fresh 400-simulation
+searches per move: reuse semantics are pinned by parity tests against the
+imported reference MCTS (tests/test_tree_reuse.py), and the fresh-vs-reuse
+choice is a measured trade (docs/treereuse-ablation.md), not an assertion.
 """
 
 from __future__ import annotations
@@ -39,31 +39,23 @@ from alphazero_tpu.config import Config
 from alphazero_tpu.env import breakthrough as env
 from alphazero_tpu.search import (
     SearchSpec,
+    Tree,
+    advance_root,
+    init_tree,
     root_action_probs,
     root_value,
     search,
 )
 
 
-@functools.partial(
-    jax.jit, static_argnames=("eval_fn", "spec", "temperature_threshold"))
-def selfplay_move(
-    states: env.EnvState,
-    rng: jax.Array,
-    eval_fn,
-    spec: SearchSpec,
-    temperature_threshold: int,
-):
-    """One lockstep move for a batch of games.
-
-    Returns (new_states, planes, probs, actions, root_values): the encoded
-    position before the move, the visit-count policy actually recorded as a
-    training target, and the sampled action applied.
-    """
+def _searched_move(states, tree, rng, eval_fn, spec, temperature_threshold):
+    """Search + sample + step core shared by all move variants. ``tree``
+    is an existing tree rooted at ``states`` (reuse) or None (fresh)."""
     k_noise, k_sample = jax.random.split(rng)
     planes = env.encoded_state(states)
 
-    tree = search(states, eval_fn, spec, rng=k_noise, add_noise=True)
+    tree = search(states, eval_fn, spec, rng=k_noise, add_noise=True,
+                  tree=tree)
 
     temp = jnp.where(states.move_count < temperature_threshold, 1.0, 0.0)
     probs = root_action_probs(tree, temp)
@@ -76,8 +68,62 @@ def selfplay_move(
     actions = jax.random.categorical(
         k_sample, jnp.log(jnp.maximum(safe, 1e-30)))
     new_states = env.step(states, actions.astype(jnp.int32))
+    return tree, planes, probs, actions, new_states
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eval_fn", "spec", "temperature_threshold"))
+def selfplay_move(
+    states: env.EnvState,
+    rng: jax.Array,
+    eval_fn,
+    spec: SearchSpec,
+    temperature_threshold: int,
+):
+    """One lockstep move for a batch of games (fresh root per move).
+
+    Returns (new_states, planes, probs, actions, root_values): the encoded
+    position before the move, the visit-count policy actually recorded as a
+    training target, and the sampled action applied.
+    """
+    tree, planes, probs, actions, new_states = _searched_move(
+        states, None, rng, eval_fn, spec, temperature_threshold)
     return new_states, planes, probs, actions, root_value(tree)
 
+
+@functools.partial(
+    jax.jit, static_argnames=("eval_fn", "spec", "temperature_threshold"))
+def selfplay_move_tree(
+    states: env.EnvState,
+    tree: Tree,
+    rng: jax.Array,
+    eval_fn,
+    spec: SearchSpec,
+    temperature_threshold: int,
+):
+    """One lockstep move WITH between-move tree reuse (reference
+    parallel_trainer.py:194-198): searches the given tree (rooted at
+    ``states``), then re-roots it at the chosen child for the next move.
+    Returns (new_states, planes, probs, actions, root_values, new_tree)."""
+    stree, planes, probs, actions, new_states = _searched_move(
+        states, tree, rng, eval_fn, spec, temperature_threshold)
+    values = root_value(stree)
+    new_tree = advance_root(stree, actions.astype(jnp.int32), new_states,
+                            spec)
+    return new_states, planes, probs, actions, values, new_tree
+
+
+
+def _initial_tree(states, spec: SearchSpec, mesh=None):
+    """Fresh search tree for reuse mode (None when reuse is off)."""
+    if not spec.tree_reuse:
+        return None
+    tree = init_tree(states, spec)
+    if mesh is not None and states.turn.shape[0] % mesh.devices.size == 0:
+        from alphazero_tpu.parallel.mesh import shard_batch
+
+        tree = shard_batch(mesh, tree)
+    return tree
 
 
 def _emit_examples(planes_all, probs_all, mover_all, m_idx, g_idx, winners):
@@ -113,6 +159,7 @@ def selfplay_games(
         num_actions=cfg.num_actions,
         c_puct=cfg.c_puct,
         fpu_reduction=cfg.fpu_reduction,
+        tree_reuse=cfg.tree_reuse,
         dirichlet_alpha=cfg.dirichlet_alpha,
         dirichlet_epsilon=cfg.dirichlet_epsilon,
     )
@@ -122,6 +169,7 @@ def selfplay_games(
         from alphazero_tpu.parallel.mesh import shard_batch
 
         states = shard_batch(mesh, states)
+    tree = _initial_tree(states, spec, mesh)
 
     # Device-side episode recording: per-move outputs stay on device and the
     # host only syncs a done-flag every CHECK_EVERY moves, so move k+1
@@ -140,8 +188,12 @@ def selfplay_games(
         pre_turn = states.turn
         pre_active = ~states.done
         rng, k = jax.random.split(rng)
-        states, planes, probs, actions, _ = selfplay_move(
-            states, k, eval_fn, spec, cfg.temperature_threshold)
+        if spec.tree_reuse:
+            states, planes, probs, actions, _, tree = selfplay_move_tree(
+                states, tree, k, eval_fn, spec, cfg.temperature_threshold)
+        else:
+            states, planes, probs, actions, _ = selfplay_move(
+                states, k, eval_fn, spec, cfg.temperature_threshold)
         rec_planes.append(planes)
         rec_probs.append(probs)
         rec_mover.append(pre_turn)
@@ -210,6 +262,35 @@ def selfplay_move_autoreset(
     return reset, planes, probs, ended, winner
 
 
+@functools.partial(
+    jax.jit, static_argnames=("eval_fn", "spec", "temperature_threshold"))
+def selfplay_move_autoreset_tree(
+    states: env.EnvState,
+    tree: Tree,
+    rng: jax.Array,
+    eval_fn,
+    spec: SearchSpec,
+    temperature_threshold: int,
+):
+    """Auto-reset move variant with tree reuse: lanes whose episode ended
+    restart at the initial position with an EMPTY root (force_fresh), all
+    other lanes keep the chosen child's subtree."""
+    stree, planes, probs, actions, new_states = _searched_move(
+        states, tree, rng, eval_fn, spec, temperature_threshold)
+    ended = new_states.done
+    winner = new_states.winner
+    fresh = env.initial_state(states.turn.shape)
+
+    def pick(f, old):
+        m = ended.reshape(ended.shape + (1,) * (f.ndim - ended.ndim))
+        return jnp.where(m, f, old)
+
+    reset = jax.tree_util.tree_map(pick, fresh, new_states)
+    new_tree = advance_root(stree, actions.astype(jnp.int32), reset, spec,
+                            force_fresh=ended)
+    return reset, planes, probs, ended, winner, new_tree
+
+
 def selfplay_games_continuous(
     eval_fn,
     cfg: Config,
@@ -233,6 +314,7 @@ def selfplay_games_continuous(
         num_actions=cfg.num_actions,
         c_puct=cfg.c_puct,
         fpu_reduction=cfg.fpu_reduction,
+        tree_reuse=cfg.tree_reuse,
         dirichlet_alpha=cfg.dirichlet_alpha,
         dirichlet_epsilon=cfg.dirichlet_epsilon,
     )
@@ -243,6 +325,7 @@ def selfplay_games_continuous(
         from alphazero_tpu.parallel.mesh import shard_batch
 
         states = shard_batch(mesh, states)
+    tree = _initial_tree(states, spec, mesh)
 
     CHECK_EVERY = 8
     rec_planes: List[jax.Array] = []
@@ -259,8 +342,13 @@ def selfplay_games_continuous(
     for m in range(move_cap):
         pre_turn = states.turn
         rng, k = jax.random.split(rng)
-        states, planes, probs, ended, winner = selfplay_move_autoreset(
-            states, k, eval_fn, spec, cfg.temperature_threshold)
+        if spec.tree_reuse:
+            (states, planes, probs, ended, winner,
+             tree) = selfplay_move_autoreset_tree(
+                states, tree, k, eval_fn, spec, cfg.temperature_threshold)
+        else:
+            states, planes, probs, ended, winner = selfplay_move_autoreset(
+                states, k, eval_fn, spec, cfg.temperature_threshold)
         rec_planes.append(planes)
         rec_probs.append(probs)
         rec_mover.append(pre_turn)

@@ -10,6 +10,7 @@ artifact is re-loadable and the loop is idempotent per iteration.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -45,7 +46,7 @@ from alphazero_tpu.train.selfplay import (
     selfplay_games,
     selfplay_games_continuous,
 )
-from alphazero_tpu.utils import is_coordinator, setup_logging
+from alphazero_tpu.utils import is_coordinator, profile_trace, setup_logging
 
 log = setup_logging()
 
@@ -71,6 +72,17 @@ class Trainer:
             log.info("training sharded over %d devices (mesh %s)",
                      n_dev, dict(zip(self.mesh.axis_names,
                                      self.mesh.devices.shape)))
+            if cfg.batch_size % n_dev != 0:
+                log.warning(
+                    "batch_size %d is not divisible by %d devices: learn() "
+                    "will fall back to the SINGLE-device train step on "
+                    "replicated state (a large perf cliff) — pick a "
+                    "divisible batch size", cfg.batch_size, n_dev)
+            if cfg.parallel_games % n_dev != 0:
+                log.warning(
+                    "parallel_games %d is not divisible by %d devices: "
+                    "self-play will run UNSHARDED on one device — pick a "
+                    "divisible game count", cfg.parallel_games, n_dev)
         else:
             self.mesh = None
             self._train_step = None
@@ -81,6 +93,20 @@ class Trainer:
         self.iteration = int(state.iteration)
         # structured per-iteration metrics (stdout logging + JSONL file)
         self.metrics_path = cfg.checkpoint_path("metrics.jsonl")
+        # --profile DIR: capture ONE device trace per phase (selfplay /
+        # learn) into DIR, viewable in TensorBoard/XProf (SURVEY.md §5
+        # tracing obligation). One-shot so steady-state iterations keep
+        # running untraced.
+        self.profile_dir: Optional[str] = None
+        self._profiled: set = set()
+
+    def _maybe_profile(self, phase: str):
+        if self.profile_dir and phase not in self._profiled:
+            self._profiled.add(phase)
+            logdir = os.path.join(self.profile_dir, phase)
+            log.info("profiling %s phase -> %s", phase, logdir)
+            return profile_trace(logdir)
+        return contextlib.nullcontext()
 
     # -- self-play ---------------------------------------------------------
     def _variables(self):
@@ -104,8 +130,9 @@ class Trainer:
         self.rng, k = jax.random.split(self.rng)
         play = (selfplay_games_continuous if self.cfg.continuous_selfplay
                 else selfplay_games)
-        examples, stats = play(eval_fn, self.cfg, k, num_games=num_games,
-                               mesh=self.mesh)
+        with self._maybe_profile("selfplay"):
+            examples, stats = play(eval_fn, self.cfg, k,
+                                   num_games=num_games, mesh=self.mesh)
         return examples, stats
 
     # -- learning ----------------------------------------------------------
@@ -123,32 +150,33 @@ class Trainer:
         # (float(v)) blocks the host on every step and serializes the
         # dispatch pipeline.
         step_metrics: List[Dict] = []
-        for _ in range(epochs):
-            # Reference epoch semantics: every buffered example in both
-            # orientations exactly once, shuffled (see epoch_batches).
-            base_idx, mirrors = epoch_batches(
-                self.np_rng, len(self.buffer), batch_size)
-            for bi, mirror in zip(base_idx, mirrors):
-                batch = self.buffer.get(bi)
-                if (self.mesh is not None
-                        and batch_size % self.mesh.devices.size == 0):
-                    sharded = shard_batch(
-                        self.mesh, tuple(jnp.asarray(x) for x in batch))
-                    m_sharded = shard_batch(self.mesh, jnp.asarray(mirror))
-                    self.state, metrics = self._train_step(
-                        self.state, sharded, m_sharded)
-                else:
-                    self.state, metrics = train_step(
-                        self.state,
-                        tuple(jnp.asarray(x) for x in batch),
-                        jnp.asarray(mirror),
-                        self.net, self.cfg)
-                step_metrics.append(metrics)
+        with self._maybe_profile("learn"):
+            for _ in range(epochs):
+                # Reference epoch semantics: every buffered example in both
+                # orientations exactly once, shuffled (see epoch_batches).
+                base_idx, mirrors = epoch_batches(
+                    self.np_rng, len(self.buffer), batch_size)
+                for bi, mirror in zip(base_idx, mirrors):
+                    batch = self.buffer.get(bi)
+                    if (self.mesh is not None
+                            and batch_size % self.mesh.devices.size == 0):
+                        sharded = shard_batch(
+                            self.mesh, tuple(jnp.asarray(x) for x in batch))
+                        m_sharded = shard_batch(self.mesh,
+                                                jnp.asarray(mirror))
+                        self.state, metrics = self._train_step(
+                            self.state, sharded, m_sharded)
+                    else:
+                        self.state, metrics = train_step(
+                            self.state,
+                            tuple(jnp.asarray(x) for x in batch),
+                            jnp.asarray(mirror),
+                            self.net, self.cfg)
+                    step_metrics.append(metrics)
+            host = jax.device_get(step_metrics)   # sync inside the trace
 
         self.state = self.state.replace(
             learn_calls=self.state.learn_calls + 1)
-        n_steps = len(step_metrics)
-        host = jax.device_get(step_metrics)
         return {k: float(np.mean([m[k] for m in host]))
                 for k in host[0]}
 

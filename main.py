@@ -22,6 +22,10 @@ def add_common(p: argparse.ArgumentParser) -> None:
                    help="force the CPU backend")
     p.add_argument("--debug-nans", action="store_true",
                    help="raise on NaN/Inf inside jitted code")
+    p.add_argument("--profile", nargs="?", const="/tmp/aztpu_profile",
+                   default=None, metavar="DIR",
+                   help="capture one device trace per phase (selfplay, "
+                        "learn) into DIR for TensorBoard/XProf")
     p.add_argument("--distributed", action="store_true",
                    help="initialize the JAX multi-host runtime")
     p.add_argument("--seed", type=int, default=0)
@@ -99,6 +103,7 @@ def main() -> None:
         from alphazero_tpu.train import Trainer
 
         trainer = Trainer(cfg, seed=args.seed)
+        trainer.profile_dir = args.profile
         log.info("model: %d blocks x %d filters, %s params on %s",
                  cfg.num_blocks, cfg.num_filters,
                  f"{count_params(trainer._variables()):,}", jax.devices()[0])

@@ -51,13 +51,17 @@ class OracleMCTS:
         # (mcts.py:290-298), mirroring SearchSpec.fpu_reduction.
         self.fpu_reduction = dtype(fpu_reduction)
 
-    def search(self, game: OracleGame, noise: np.ndarray | None = None
-               ) -> ONode:
+    def search(self, game: OracleGame, noise: np.ndarray | None = None,
+               root: ONode | None = None) -> ONode:
+        """``root`` continues from a reused subtree (reference tree reuse,
+        parallel_trainer.py:194-198): its visits/values/children persist
+        and noise mixes into its existing priors (mcts.py:128-144)."""
         D = self.D
-        root = ONode(D(0))
-        if not game.is_terminal():
+        if root is None:
+            root = ONode(D(0))
+        if not root.expanded and not game.is_terminal():
             self._expand(root, game)
-        if noise is not None:
+        if noise is not None and root.expanded:
             self._mix_noise(root, noise)
 
         for _ in range(self.num_simulations):

@@ -99,6 +99,85 @@ def test_device_search_matches_reference_mcts(ref):
     assert not mismatches, f"visit mismatches vs reference: {mismatches}"
 
 
+def test_device_tree_reuse_matches_reference_mcts(ref):
+    """Multi-move parity WITH tree reuse against the actual reference:
+    both sides search, pick the argmax-visit move, descend into the chosen
+    child (reference parallel_trainer.py:194-198 / device advance_root),
+    and search again — visit counts must match at every move."""
+    import jax
+    import jax.numpy as jnp
+
+    from alphazero_tpu.env import breakthrough as env
+    from alphazero_tpu.search import (
+        SearchSpec,
+        advance_root,
+        init_tree,
+        root_child_visits,
+        search,
+    )
+
+    ref_game_mod, ref_mcts_mod = ref
+    rng = np.random.default_rng(77)
+    my_games = [OracleGame()] + [random_midgame(rng) for _ in range(11)]
+    my_games = [g if not g.is_terminal() else OracleGame() for g in my_games]
+
+    num_sims, num_moves = 40, 4
+    spec = SearchSpec(num_simulations=num_sims, tree_reuse=True,
+                      value_dtype=jnp.dtype("float64"))
+
+    mcts = _inject_eval(ref_mcts_mod.MCTS(model=None,
+                                          num_simulations=num_sims))
+    ref_games = [
+        ref_game_mod.BreakthroughGame(board=np.asarray(g.board), turn=g.turn)
+        for g in my_games
+    ]
+    roots = None
+    alive = [True] * len(my_games)
+
+    with jax.enable_x64():
+        states = states_from_games(my_games)
+        tree = init_tree(states, spec)
+        jsearch = jax.jit(functools.partial(search, eval_fn=fake_eval_jax,
+                                            spec=spec))
+        jadvance = jax.jit(functools.partial(advance_root, spec=spec))
+        jstep = jax.jit(env.step)
+
+        for mv in range(num_moves):
+            tree = jsearch(states, tree=tree)
+            device_visits = np.asarray(root_child_visits(tree))
+
+            roots = mcts.search_batch(ref_games, roots, add_noise=False)
+            actions = np.zeros(len(my_games), np.int64)
+            for i, root in enumerate(roots):
+                if not alive[i]:
+                    continue
+                expected = np.zeros(NUM_ACTIONS, np.int32)
+                for a, child in root.children.items():
+                    expected[a] = child.visit_count
+                np.testing.assert_array_equal(
+                    device_visits[i], expected,
+                    err_msg=f"game {i} move {mv}")
+                actions[i] = int(np.argmax(expected))
+
+            for i in range(len(my_games)):
+                if not alive[i]:
+                    continue
+                a = int(actions[i])
+                move = ref_games[i].decode_action(a)
+                ref_games[i].step(move)
+                roots[i] = roots[i].children.get(a)
+                if ref_games[i].is_terminal():
+                    alive[i] = False
+                    # park a fresh game so search_batch stays well-defined;
+                    # this lane is never compared again
+                    ref_games[i] = ref_game_mod.BreakthroughGame()
+                    roots[i] = None
+
+            acts = jnp.asarray(actions, jnp.int32)
+            states = jstep(states, acts)
+            tree = jadvance(tree, acts, states)
+
+
 def test_dict_oracle_matches_reference_mcts(ref):
     """Sanity for the in-repo oracle itself: same semantics as the actual
     reference implementation under the shared evaluator."""
