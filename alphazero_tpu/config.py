@@ -60,6 +60,11 @@ class Config:
     inference_dtype: str = "bfloat16"  # activations in search; params stay f32
     train_dtype: str = "float32"
 
+    # --- Compile/runtime trade (docs/compile-latency.md) ---
+    # True: residual tower as one nn.scan block -> 14x faster cold compile,
+    # -5.8% search throughput. False (default): max throughput.
+    scan_blocks: bool = False
+
     # --- Paths ---
     checkpoint_dir: str = "checkpoints"
     best_model: str = "model_best"

@@ -77,10 +77,31 @@ class SEResBlock(nn.Module):
         return nn.relu(y + x)
 
 
+class _ScanBlock(nn.Module):
+    """Scan body: one SE-residual block in (carry, xs) -> (carry, ys) form."""
+
+    channels: int
+    se_ratio: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool):
+        y = SEResBlock(self.channels, self.se_ratio, dtype=self.dtype,
+                       name="block")(x, train)
+        return y, None
+
+
 class AlphaZeroNet(nn.Module):
     """Policy (192 logits) + win/loss (2 logits) network.
 
     Input: (B, 3, 8, 8) float planes (mine/theirs/ones, mover perspective).
+
+    ``scan_blocks`` runs the residual tower as ONE ``nn.scan``-stacked
+    block instead of ``num_blocks`` inlined copies. Numerics are identical
+    (same ops per block, verified bit-exact); the point is XLA compile
+    time, which scales with inlined graph size (docs/compile-latency.md).
+    Scanned block parameters are stacked on a leading (num_blocks, ...)
+    axis, so the two layouts' checkpoints are not interchangeable.
     """
 
     num_blocks: int = 20
@@ -88,6 +109,16 @@ class AlphaZeroNet(nn.Module):
     se_ratio: int = 8
     num_actions: int = 192
     dtype: Any = jnp.float32
+    # scan_blocks=True compiles the tower as ONE nn.scan-stacked block:
+    # 14x faster cold compile (66s vs 949s for the flagship search program
+    # on v5e) at -5.8% steady-state throughput (180k vs 191k sims/s;
+    # measured, see docs/compile-latency.md). Default False = maximum
+    # throughput; flip on for fast dev iteration (main.py --scan-blocks).
+    scan_blocks: bool = False
+    # lax.scan unroll factor for the scanned tower (measured: unroll=4
+    # compiles 2.4x slower than unroll=1 for only +1% runtime — the scan
+    # overhead is not inter-block fusion, so leave at 1).
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, planes: jax.Array, train: bool = False
@@ -100,9 +131,21 @@ class AlphaZeroNet(nn.Module):
                          name="input_bn")(x)
         x = nn.relu(x)
 
-        for i in range(self.num_blocks):
-            x = SEResBlock(self.num_filters, self.se_ratio, dtype=self.dtype,
-                           name=f"block_{i}")(x, train)
+        if self.scan_blocks:
+            tower = nn.scan(
+                _ScanBlock,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True},
+                in_axes=nn.broadcast,      # `train` is the same every step
+                length=self.num_blocks,
+                unroll=self.scan_unroll,
+            )(self.num_filters, self.se_ratio, dtype=self.dtype,
+              name="tower")
+            x, _ = tower(x, train)
+        else:
+            for i in range(self.num_blocks):
+                x = SEResBlock(self.num_filters, self.se_ratio,
+                               dtype=self.dtype, name=f"block_{i}")(x, train)
 
         # Policy head
         p = nn.Conv(self.num_filters, (3, 3), padding="SAME", use_bias=False,
@@ -137,6 +180,7 @@ def init_network(cfg: Config, rng: jax.Array, dtype=jnp.float32
         se_ratio=cfg.se_ratio,
         num_actions=cfg.num_actions,
         dtype=dtype,
+        scan_blocks=cfg.scan_blocks,
     )
     dummy = jnp.zeros((1, cfg.input_planes, cfg.board_size, cfg.board_size),
                       jnp.float32)

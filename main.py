@@ -26,6 +26,10 @@ def add_common(p: argparse.ArgumentParser) -> None:
                    default=None, metavar="DIR",
                    help="capture one device trace per phase (selfplay, "
                         "learn) into DIR for TensorBoard/XProf")
+    p.add_argument("--scan-blocks", action="store_true",
+                   help="compile the residual tower as one scanned block "
+                        "(14x faster cold compile, ~6%% slower search; "
+                        "see docs/compile-latency.md)")
     p.add_argument("--distributed", action="store_true",
                    help="initialize the JAX multi-host runtime")
     p.add_argument("--seed", type=int, default=0)
@@ -45,6 +49,8 @@ def build_config(args):
         over["num_simulations_inference"] = max(1, args.sims // 2)
     if args.games is not None:
         over["parallel_games"] = args.games
+    if args.scan_blocks:
+        over["scan_blocks"] = True
     return cfg.replace(**over) if over else cfg
 
 

@@ -87,3 +87,63 @@ class TestGradients:
         zero = [jax.tree_util.keystr(k) for k, g in flat
                 if not np.any(np.abs(np.asarray(g)) > 0)]
         assert not zero, f"zero grads: {zero}"
+
+
+class TestScannedTower:
+    """scan_blocks=True (fast-compile tower, docs/compile-latency.md) must
+    be numerically equivalent to the inlined tower (same ops per block;
+    XLA fusion may reorder float ops at ~1e-7)."""
+
+    def test_scan_matches_inlined(self):
+        import flax
+        import jax
+        import jax.numpy as jnp
+
+        from alphazero_tpu.config import tiny_config
+        from alphazero_tpu.models.network import init_network
+
+        cfg = tiny_config(num_blocks=3, num_filters=16)
+        net_s, var_s = init_network(cfg.replace(scan_blocks=True),
+                                    jax.random.PRNGKey(0))
+        net_i, _ = init_network(cfg, jax.random.PRNGKey(0))
+
+        # rebuild the inlined variable tree from the stacked scan params
+        def unstack(tree):
+            flat = flax.traverse_util.flatten_dict(tree)
+            out = {}
+            for k, v in flat.items():
+                if k[0] == "tower":
+                    for b in range(cfg.num_blocks):
+                        out[(f"block_{b}",) + k[2:]] = v[b]
+                else:
+                    out[k] = v
+            return flax.traverse_util.unflatten_dict(out)
+
+        var_i = {c: unstack(t) for c, t in var_s.items()}
+        planes = jax.random.uniform(jax.random.PRNGKey(7), (4, 3, 8, 8))
+        ps, ws = net_s.apply(var_s, planes, train=False)
+        pi, wi = net_i.apply(var_i, planes, train=False)
+        np.testing.assert_allclose(np.asarray(ps), np.asarray(pi),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ws), np.asarray(wi),
+                                   rtol=1e-5, atol=1e-5)
+        n_s = sum(x.size for x in jax.tree_util.tree_leaves(var_s["params"]))
+        n_i = sum(x.size for x in jax.tree_util.tree_leaves(var_i["params"]))
+        assert n_s == n_i
+
+    def test_scan_train_mode_updates_stats(self):
+        import jax
+        import jax.numpy as jnp
+
+        from alphazero_tpu.config import tiny_config
+        from alphazero_tpu.models.network import init_network
+
+        cfg = tiny_config(num_blocks=3, num_filters=16, scan_blocks=True)
+        net, variables = init_network(cfg, jax.random.PRNGKey(0))
+        planes = jax.random.uniform(jax.random.PRNGKey(1), (8, 3, 8, 8))
+        (_, _), mut = net.apply(variables, planes, train=True,
+                                mutable=["batch_stats"])
+        before = jax.tree_util.tree_leaves(variables["batch_stats"])
+        after = jax.tree_util.tree_leaves(mut["batch_stats"])
+        assert any(not np.array_equal(np.asarray(a), np.asarray(b))
+                   for a, b in zip(before, after))
