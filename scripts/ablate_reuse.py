@@ -75,9 +75,16 @@ def main():
     spec_r = SearchSpec(num_simulations=SIMS, tree_reuse=True)
     spec_f = SearchSpec(num_simulations=SIMS)
     spec_g = SearchSpec(num_simulations=SIMS * GT_MULT)
+    # equal-cost comparison arm: fresh search with a larger budget (e.g.
+    # +25% sims costs +25% while reuse currently costs ~+100%/move)
+    SIMS2 = int(os.environ.get("ABL_FRESH_SIMS2", "0"))
+    spec_f2 = SearchSpec(num_simulations=SIMS2) if SIMS2 else None
 
     js = {k: jax.jit(functools.partial(search, eval_fn=eval_fn, spec=s))
           for k, s in (("r", spec_r), ("f", spec_f), ("g", spec_g))}
+    if spec_f2:
+        js["f2"] = jax.jit(functools.partial(search, eval_fn=eval_fn,
+                                             spec=spec_f2))
     jadv = jax.jit(functools.partial(advance_root, spec=spec_r))
     jstep = jax.jit(env.step)
 
@@ -85,6 +92,7 @@ def main():
     states = env.initial_state((GAMES,))
     tree = init_tree(states, spec_r)
     tv_r, tv_f, agree_r, agree_f = [], [], [], []
+    tv_f2, agree_f2 = [], []
     for mv in range(MOVES):
         tree = js["r"](states, tree=tree)
         vis_r = np.asarray(root_child_visits(tree))
@@ -96,6 +104,10 @@ def main():
         tv_f.append(0.5 * np.abs(df - dg).sum(-1)[live].mean())
         agree_r.append((dr.argmax(-1) == dg.argmax(-1))[live].mean())
         agree_f.append((df.argmax(-1) == dg.argmax(-1))[live].mean())
+        if spec_f2:
+            df2 = dist(np.asarray(root_child_visits(js["f2"](states))))
+            tv_f2.append(0.5 * np.abs(df2 - dg).sum(-1)[live].mean())
+            agree_f2.append((df2.argmax(-1) == dg.argmax(-1))[live].mean())
         # advance along the ground-truth-ish greedy move of the REUSE search
         actions = jnp.asarray(vis_r.argmax(-1), jnp.int32)
         states = jstep(states, actions)
@@ -110,6 +122,9 @@ def main():
     print(f"mean TV  : reuse {np.mean(tv_r):.4f}  fresh {np.mean(tv_f):.4f}")
     print(f"mean agree: reuse {np.mean(agree_r):.3f}  "
           f"fresh {np.mean(agree_f):.3f}")
+    if spec_f2:
+        print(f"fresh@{SIMS2}: TV {np.mean(tv_f2):.4f}  "
+              f"agree {np.mean(agree_f2):.3f}")
 
     # --- throughput: 50 lockstep moves each ------------------------------
     from alphazero_tpu.train.selfplay import (
