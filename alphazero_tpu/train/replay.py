@@ -67,8 +67,24 @@ class ReplayBuffer:
                 self.policies[idx], self.wls[idx])
 
 
+def host_data_path(path: str, process_index: int) -> str:
+    """Per-host replay shard path (SURVEY.md §5: replay examples stay
+    host-local). Process 0 keeps the reference's exact filename
+    (``training_data.npz``) so single-host runs match the reference
+    contract; other hosts write ``..._p{i}.npz`` beside it."""
+    if process_index == 0:
+        return path
+    root, ext = os.path.splitext(path)
+    if root.endswith(".npz"):   # handles .npz inside compound suffixes
+        root, ext2 = os.path.splitext(root)
+        ext = ext2 + ext
+    return f"{root}_p{process_index}{ext}"
+
+
 def epoch_batches(rng: np.random.Generator, n_examples: int,
-                  batch_size: int) -> Tuple[np.ndarray, np.ndarray]:
+                  batch_size: int,
+                  steps: int | None = None
+                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Shuffled without-replacement epoch over the 2x-augmented dataset.
 
     The reference's learn() iterates every example in BOTH orientations
@@ -80,11 +96,16 @@ def epoch_batches(rng: np.random.Generator, n_examples: int,
     step every iteration, so the tail batch is padded by wrapping to the
     permutation head (those few pairs are seen twice per epoch).
 
+    ``steps`` overrides the step count (multi-host: collectives are
+    lockstep, so every host must run the same number of steps over its
+    local shard; hosts with more data truncate, hosts with less wrap).
+
     Returns (base_idx, mirror), each (steps, batch_size): buffer row
     indices and the per-sample mirror-augmentation flag.
     """
     n_aug = 2 * n_examples
-    steps = max(1, -(-n_aug // batch_size))
+    if steps is None:
+        steps = max(1, -(-n_aug // batch_size))
     perm = rng.permutation(n_aug)
     idx = np.resize(perm, steps * batch_size).reshape(steps, batch_size)
     return (idx % n_examples).astype(np.int64), idx >= n_examples

@@ -40,6 +40,7 @@ from alphazero_tpu.train.replay import (
     ReplayBuffer,
     append_training_data,
     epoch_batches,
+    host_data_path,
     load_training_data,
 )
 from alphazero_tpu.train.selfplay import (
@@ -65,10 +66,17 @@ class Trainer:
         # axis, replicate parameters; XLA inserts the collectives. With one
         # device this is the identity layout (SURVEY.md §5).
         n_dev = jax.device_count()
+        self.n_proc = jax.process_count()
+        self.proc = jax.process_index()
         if n_dev > 1:
             self.mesh = make_mesh()
             self.state = replicate(self.mesh, self.state)
             self._train_step = sharded_train_step(self.mesh, self.net, cfg)
+            # Multi-host: the learner mesh is GLOBAL (gradients psum over
+            # ICI/DCN); self-play actors run per host on their addressable
+            # devices with host-local replay (SURVEY.md §5).
+            self.actor_mesh = (make_mesh(jax.local_devices())
+                               if self.n_proc > 1 else self.mesh)
             log.info("training sharded over %d devices (mesh %s)",
                      n_dev, dict(zip(self.mesh.axis_names,
                                      self.mesh.devices.shape)))
@@ -85,11 +93,15 @@ class Trainer:
                     "divisible game count", cfg.parallel_games, n_dev)
         else:
             self.mesh = None
+            self.actor_mesh = None
             self._train_step = None
         self.buffer = ReplayBuffer(cfg.buffer_size,
                                    num_actions=cfg.num_actions)
-        self.rng = jax.random.PRNGKey(seed + 1)
-        self.np_rng = np.random.default_rng(seed + 2)
+        # per-host streams: every host must play DIFFERENT games (and may
+        # sample different learner batches — gradients are psum'd anyway)
+        self.rng = jax.random.fold_in(jax.random.PRNGKey(seed + 1),
+                                      self.proc)
+        self.np_rng = np.random.default_rng(seed + 2 + self.proc)
         self.iteration = int(state.iteration)
         # structured per-iteration metrics (stdout logging + JSONL file)
         self.metrics_path = cfg.checkpoint_path("metrics.jsonl")
@@ -132,10 +144,27 @@ class Trainer:
                 else selfplay_games)
         with self._maybe_profile("selfplay"):
             examples, stats = play(eval_fn, self.cfg, k,
-                                   num_games=num_games, mesh=self.mesh)
+                                   num_games=num_games,
+                                   mesh=self.actor_mesh)
         return examples, stats
 
     # -- learning ----------------------------------------------------------
+    def _device_batch(self, arrays):
+        """Host-local numpy batch -> mesh-data-sharded device arrays.
+
+        Single-process: plain shard_batch. Multi-host: every host holds
+        only its local shard, assembled into one global array
+        (jax.make_array_from_process_local_data)."""
+        if self.n_proc > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P("data"))
+            return tuple(
+                jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x)) for x in arrays)
+        return shard_batch(self.mesh,
+                           tuple(jnp.asarray(x) for x in arrays))
+
     def learn(self, epochs: Optional[int] = None,
               batch_size: Optional[int] = None) -> Dict[str, float]:
         """One learn() call = reference semantics: iterate over the
@@ -146,6 +175,22 @@ class Trainer:
         if len(self.buffer) == 0:
             return {}
 
+        use_sharded = (self.mesh is not None
+                       and batch_size % self.mesh.devices.size == 0)
+        # Multi-host: each host contributes its local share of the global
+        # batch from its host-local buffer; collectives are lockstep, so
+        # every host runs process 0's step count (epoch_batches wraps or
+        # truncates its local permutation to fit).
+        local_bs = (batch_size // self.n_proc
+                    if use_sharded else batch_size)
+        steps = None
+        if use_sharded and self.n_proc > 1:
+            from jax.experimental import multihost_utils
+
+            local_steps = max(1, -(-2 * len(self.buffer) // local_bs))
+            steps = int(multihost_utils.broadcast_one_to_all(
+                np.int32(local_steps)))
+
         # Metrics stay on device until the end: converting per step
         # (float(v)) blocks the host on every step and serializes the
         # dispatch pipeline.
@@ -155,15 +200,12 @@ class Trainer:
                 # Reference epoch semantics: every buffered example in both
                 # orientations exactly once, shuffled (see epoch_batches).
                 base_idx, mirrors = epoch_batches(
-                    self.np_rng, len(self.buffer), batch_size)
+                    self.np_rng, len(self.buffer), local_bs, steps=steps)
                 for bi, mirror in zip(base_idx, mirrors):
                     batch = self.buffer.get(bi)
-                    if (self.mesh is not None
-                            and batch_size % self.mesh.devices.size == 0):
-                        sharded = shard_batch(
-                            self.mesh, tuple(jnp.asarray(x) for x in batch))
-                        m_sharded = shard_batch(self.mesh,
-                                                jnp.asarray(mirror))
+                    if use_sharded:
+                        sharded = self._device_batch(batch)
+                        m_sharded = self._device_batch((mirror,))[0]
                         self.state, metrics = self._train_step(
                             self.state, sharded, m_sharded)
                     else:
@@ -201,16 +243,19 @@ class Trainer:
             self.state = ckpt.load_checkpoint(path, self.state)
             self.iteration = it
         loaded = load_training_data(
-            self.cfg.checkpoint_path(self.cfg.data_file), self.buffer)
+            host_data_path(self.cfg.checkpoint_path(self.cfg.data_file),
+                           self.proc),
+            self.buffer)
         if it or loaded:
             log.info("resumed at iteration %d with %d examples", it, loaded)
         return it
 
     def append_data(self, examples) -> int:
-        if not is_coordinator():
-            return 0
-        return append_training_data(
-            self.cfg.checkpoint_path(self.cfg.data_file), examples)
+        # replay data is HOST-LOCAL (each host persists its own shard file,
+        # no cross-host race); checkpoints/metrics stay process-0-only
+        path = host_data_path(
+            self.cfg.checkpoint_path(self.cfg.data_file), self.proc)
+        return append_training_data(path, examples)
 
     # -- the loop ------------------------------------------------------------
     def run_iteration(self) -> Dict[str, float]:

@@ -7,6 +7,11 @@ alpha-beta engine at a fixed time budget, and reports the score.
     PYTHONPATH=. python scripts/eval_vs_baseline.py <checkpoint_dir> \
         [games] [baseline_ms]
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -1,4 +1,9 @@
 """Measure lockstep max descent depth per simulation with the real net."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -1,4 +1,9 @@
 """Microbench the _alloc_node write pattern with different dtypes/layouts."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -1,4 +1,9 @@
 """Microbench a realistic fused descent-level body, and dense-op chains."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -1,4 +1,9 @@
 """Microbench candidate primitives for the MCTS tree redesign."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -1,4 +1,9 @@
 """Probe whether per-sim cost scales with tree capacity (copy hypothesis)."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -1,4 +1,9 @@
 """Profile split: NN eval time vs tree-op time per simulation on TPU."""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import sys
 import time
 

@@ -44,6 +44,17 @@ class TestEpochBatches:
             seen = set(base[mirror == orient].tolist())
             assert seen == set(range(50))
 
+    def test_explicit_steps_override(self):
+        """Multi-host lockstep: an explicit step count wraps (too few
+        examples) or truncates (too many) the local permutation."""
+        rng = np.random.default_rng(4)
+        base, mirror = epoch_batches(rng, 100, 32, steps=3)   # truncates
+        assert base.shape == (3, 32)
+        base, mirror = epoch_batches(rng, 4, 32, steps=5)     # wraps
+        assert base.shape == (5, 32)
+        pair = base + 4 * mirror.astype(np.int64)
+        assert set(pair.ravel().tolist()) == set(range(8))
+
     def test_epochs_are_differently_shuffled(self):
         rng = np.random.default_rng(2)
         b1, m1 = epoch_batches(rng, 128, 32)
@@ -86,16 +97,29 @@ class TestMultiHostWriteGuard:
         self._patch_noncoordinator(monkeypatch)
         cfg = tiny_config(checkpoint_dir=str(tmp_path / "ckpt"))
         tr = Trainer(cfg, seed=0)
+        tr.proc = 1    # simulate a non-zero host
         tr.iteration = 1
         path = tr.save()
         assert not os.path.exists(path)
+        # replay data is HOST-LOCAL: a non-zero host writes its OWN shard
+        # file (no cross-host race), never the shared training_data.npz
         n = tr.append_data([(np.zeros((3, 8, 8), np.uint8),
                              np.full(192, 1 / 192, np.float32),
                              np.array([1, 0], np.float32))])
-        assert n == 0
+        assert n == 1
+        assert os.path.exists(
+            cfg.checkpoint_path("training_data_p1.npz"))
+        assert not os.path.exists(cfg.checkpoint_path("training_data.npz"))
         tr._write_metrics({"loss": 1.0})
         assert not os.path.exists(tr.metrics_path)
-        assert not (tmp_path / "ckpt").exists()
+
+    def test_host_data_path(self):
+        from alphazero_tpu.train.replay import host_data_path
+
+        assert host_data_path("a/training_data.npz", 0) == \
+            "a/training_data.npz"
+        assert host_data_path("a/training_data.npz", 3) == \
+            "a/training_data_p3.npz"
 
     def test_arena_state_save_skipped(self, tmp_path, monkeypatch):
         from alphazero_tpu.arena.elo import ArenaState
