@@ -78,22 +78,24 @@ def main():
         cfg2 = cfg.replace(parallel_games=num_games)
         play = (selfplay_games_continuous if cfg2.continuous_selfplay
                 else selfplay_games)
+        # warm-up: same program shapes (lane count fixes them), so one
+        # short run compiles everything and the timed run is steady-state
         t0 = time.time()
-        examples, stats = play(eval_fn, cfg2, rng)
+        play(eval_fn, cfg2, rng, num_games=1)
+        log(f"warm-up (compile): {time.time() - t0:.1f}s")
+        t0 = time.time()
+        examples, stats = play(eval_fn, cfg2, jax.random.PRNGKey(2))
         dt = time.time() - t0
         sims_per_sec = stats["simulations"] / dt
         log(f"selfplay: {stats['games']} games, {stats['moves']} moves, "
-            f"{stats['examples']} examples in {dt:.1f}s (incl. compile); "
+            f"{stats['examples']} examples in {dt:.1f}s (warm); "
             f"lockstep moves played: {stats['moves_played']}")
         games_per_hour = stats["games"] * 3600 / dt
         log(f"games/hour: {games_per_hour:,.0f}, "
             f"env-steps/s: {stats['moves'] / dt:,.1f}, "
             f"sims/s: {sims_per_sec:,.0f}")
-        # Distinct metric name: this is a single COLD run (wall time
-        # includes compilation), not comparable to move mode's
-        # warmed best-of-reps sims/s number.
         print(json.dumps({
-            "metric": "selfplay_games_per_hour_per_chip_cold",
+            "metric": "selfplay_games_per_hour_per_chip",
             "value": round(games_per_hour, 1),
             "unit": "games/hour",
             "vs_baseline": round(sims_per_sec / 100_000.0, 4),
