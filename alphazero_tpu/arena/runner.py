@@ -69,9 +69,13 @@ def load_model_variables(cfg: Config, path: str):
     import jax.numpy as jnp
 
     arch = ckpt.checkpoint_arch(path)
-    model_cfg = cfg.replace(num_blocks=arch["num_blocks"],
-                            num_filters=arch["num_filters"],
-                            se_ratio=arch.get("se_ratio", cfg.se_ratio))
+    model_cfg = cfg.replace(
+        num_blocks=arch["num_blocks"],
+        num_filters=arch["num_filters"],
+        se_ratio=arch.get("se_ratio", cfg.se_ratio),
+        # param layout follows the checkpoint, not the live config
+        # (pre-round-3 checkpoints never used the scanned tower)
+        scan_blocks=arch.get("scan_blocks", False))
     net, variables = init_network(model_cfg, jax.random.PRNGKey(0))
     template = create_train_state(model_cfg, net, variables)
     state = ckpt.load_checkpoint(path, template)

@@ -51,9 +51,16 @@ def save_iteration_checkpoint(cfg: Config, state, iteration: int,
 
     meta = {
         "iteration": int(iteration),
+        # Everything that changes the param-tree structure must be recorded
+        # so any consumer can rebuild the right net from the checkpoint
+        # alone (reference contract: web.py:90-101, parallel_trainer.py:
+        # 306-309). scan_blocks changes the LAYOUT (stacked leading axis,
+        # models/network.py:99-104), not the arch, but a consumer that
+        # ignores it cannot restore the pytree.
         "arch": {"num_blocks": cfg.num_blocks,
                  "num_filters": cfg.num_filters,
-                 "se_ratio": cfg.se_ratio},
+                 "se_ratio": cfg.se_ratio,
+                 "scan_blocks": cfg.scan_blocks},
     }
     with open(os.path.join(path, "alphazero_meta.json"), "w") as f:
         json.dump(meta, f)

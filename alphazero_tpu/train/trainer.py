@@ -81,6 +81,17 @@ class Trainer:
                      n_dev, dict(zip(self.mesh.axis_names,
                                      self.mesh.devices.shape)))
             if cfg.batch_size % n_dev != 0:
+                if self.n_proc > 1:
+                    # Multi-host, the unsharded fallback is a CORRECTNESS
+                    # failure, not a perf cliff: each host would train on
+                    # its own host-local data with no psum, silently
+                    # diverging parameters across hosts.
+                    raise ValueError(
+                        f"batch_size {cfg.batch_size} is not divisible by "
+                        f"{n_dev} devices under {self.n_proc} processes: "
+                        "the unsharded fallback would silently diverge "
+                        "parameters across hosts — pick a divisible batch "
+                        "size")
                 log.warning(
                     "batch_size %d is not divisible by %d devices: learn() "
                     "will fall back to the SINGLE-device train step on "
@@ -177,6 +188,12 @@ class Trainer:
 
         use_sharded = (self.mesh is not None
                        and batch_size % self.mesh.devices.size == 0)
+        if self.n_proc > 1 and not use_sharded:
+            raise RuntimeError(
+                f"learn(batch_size={batch_size}) cannot use the sharded "
+                f"train step under {self.n_proc} processes: the unsharded "
+                "fallback trains each host on different local data with no "
+                "psum (silent parameter divergence)")
         # Multi-host: each host contributes its local share of the global
         # batch from its host-local buffer; collectives are lockstep, so
         # every host runs process 0's step count (epoch_batches wraps or
@@ -231,15 +248,58 @@ class Trainer:
         it = self.iteration if iteration is None else iteration
         self.state = self.state.replace(
             iteration=jnp.asarray(it, jnp.int32))
-        if not is_coordinator():
-            return self.cfg.checkpoint_path(f"iteration_{it}")
-        return ckpt.save_iteration_checkpoint(self.cfg, self.state, it)
+        path = self.cfg.checkpoint_path(f"iteration_{it}")
+        if is_coordinator():
+            path = ckpt.save_iteration_checkpoint(self.cfg, self.state, it)
+        if self.n_proc > 1:
+            # Barrier: no host may proceed (or resume()) until process 0's
+            # checkpoint is fully on disk — otherwise a fast host can race
+            # past the save and read a half-written iteration_N.
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(f"aztpu_save_{it}")
+        return path
+
+    def _rebuild_net(self, cfg: Config) -> None:
+        """Rebuild net/state/train-step for a config whose param-tree
+        structure differs from the live one (e.g. a checkpoint trained with
+        the scanned tower — the layouts are not interchangeable,
+        models/network.py:99-104)."""
+        self.cfg = cfg
+        net, variables = init_network(cfg, jax.random.PRNGKey(0))
+        self.net = net
+        self.state = create_train_state(cfg, net, variables)
+        if self.mesh is not None:
+            self.state = replicate(self.mesh, self.state)
+            self._train_step = sharded_train_step(self.mesh, self.net, cfg)
 
     def resume(self) -> int:
-        """Load the latest checkpoint + replay tail; returns iteration."""
+        """Load the latest checkpoint + replay tail; returns iteration.
+
+        The checkpoint's recorded arch/layout wins over the live config
+        (reference contract: consumers rebuild the net from the checkpoint
+        alone, web.py:90-101) — so a run trained with --scan-blocks resumes
+        correctly under the default config and vice versa."""
         it = ckpt.get_latest_iteration(self.cfg)
         if it > 0:
             path = self.cfg.checkpoint_path(f"iteration_{it}")
+            try:
+                arch = ckpt.checkpoint_arch(path)
+            except (OSError, KeyError, ValueError):
+                arch = {}
+            ck_cfg = self.cfg.replace(
+                num_blocks=arch.get("num_blocks", self.cfg.num_blocks),
+                num_filters=arch.get("num_filters", self.cfg.num_filters),
+                se_ratio=arch.get("se_ratio", self.cfg.se_ratio),
+                scan_blocks=arch.get("scan_blocks", False))
+            if ck_cfg != self.cfg:
+                log.warning(
+                    "checkpoint %s arch %s overrides the live config "
+                    "(param layouts are not interchangeable)", path,
+                    {k: getattr(ck_cfg, k) for k in
+                     ("num_blocks", "num_filters", "se_ratio",
+                      "scan_blocks")})
+                self._rebuild_net(ck_cfg)
             self.state = ckpt.load_checkpoint(path, self.state)
             self.iteration = it
         loaded = load_training_data(
