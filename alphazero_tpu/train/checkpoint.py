@@ -36,17 +36,45 @@ def _ckpt_dir(cfg: Config, name: str) -> str:
 
 def save_iteration_checkpoint(cfg: Config, state, iteration: int,
                               name: Optional[str] = None) -> str:
-    """Save TrainState as checkpoints/iteration_N (directory)."""
+    """Save TrainState as checkpoints/iteration_N (directory).
+
+    Multi-host: EVERY process must call this (Orbax's save is a collective
+    with internal barriers — a coordinator-only call deadlocks); Orbax
+    writes array data from the primary host for replicated state, and the
+    plain-filesystem steps (cleanup, atomic rename, metadata) run on
+    process 0 only. Exercised by tests/test_multiprocess.py under a real
+    2-process jax.distributed runtime."""
+    from alphazero_tpu.utils import is_coordinator
     from alphazero_tpu.train.learner import TrainState
 
     name = name or f"iteration_{iteration}"
     path = _ckpt_dir(cfg, name)
-    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    multiproc = jax.process_count() > 1
+    if is_coordinator():
+        os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+        for stale in (path, path + ".tmp_ocp"):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+    if multiproc:
+        from jax.experimental import multihost_utils
 
+        multihost_utils.sync_global_devices(f"aztpu_ckpt_clean_{name}")
+
+    # device_get fails on non-fully-addressable (multi-host replicated)
+    # arrays; Orbax consumes those jax.Arrays natively. Fully-addressable
+    # leaves (e.g. the freshly-set iteration scalar, which is host-local)
+    # must become numpy — Orbax refuses host-local jax.Arrays multi-host.
+    if multiproc:
+        payload = jax.tree_util.tree_map(
+            lambda x: np.asarray(x)
+            if isinstance(x, jax.Array) and x.is_fully_addressable else x,
+            state)
+    else:
+        payload = jax.device_get(state)
     with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path + ".tmp_ocp", jax.device_get(state))
+        ckptr.save(path + ".tmp_ocp", payload)
+    if not is_coordinator():
+        return path
     os.replace(path + ".tmp_ocp", path)
 
     meta = {

@@ -52,6 +52,19 @@ from alphazero_tpu.utils import is_coordinator, profile_trace, setup_logging
 log = setup_logging()
 
 
+def _host_local(tree):
+    """Fetch a pytree of device arrays to host numpy.
+
+    Multi-host replicated arrays are not fully addressable, so
+    jax.device_get raises on them; every host holds the full value locally
+    (shard 0 of a replicated layout IS the value), so fetch that."""
+    def get(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return np.asarray(x.addressable_data(0))
+        return np.asarray(x) if isinstance(x, jax.Array) else x
+    return jax.tree_util.tree_map(get, tree)
+
+
 class Trainer:
     def __init__(self, cfg: Config, seed: int = 0,
                  net: Optional[AlphaZeroNet] = None,
@@ -97,11 +110,16 @@ class Trainer:
                     "will fall back to the SINGLE-device train step on "
                     "replicated state (a large perf cliff) — pick a "
                     "divisible batch size", cfg.batch_size, n_dev)
-            if cfg.parallel_games % n_dev != 0:
+            # self-play runs on the ACTOR mesh (host-local under
+            # multi-host), so its divisibility is against local devices
+            actor_dev = (jax.local_device_count() if self.n_proc > 1
+                         else n_dev)
+            if cfg.parallel_games % actor_dev != 0:
                 log.warning(
-                    "parallel_games %d is not divisible by %d devices: "
-                    "self-play will run UNSHARDED on one device — pick a "
-                    "divisible game count", cfg.parallel_games, n_dev)
+                    "parallel_games %d is not divisible by %d actor "
+                    "devices: self-play will run UNSHARDED on one device — "
+                    "pick a divisible game count", cfg.parallel_games,
+                    actor_dev)
         else:
             self.mesh = None
             self.actor_mesh = None
@@ -232,7 +250,7 @@ class Trainer:
                             jnp.asarray(mirror),
                             self.net, self.cfg)
                     step_metrics.append(metrics)
-            host = jax.device_get(step_metrics)   # sync inside the trace
+            host = _host_local(step_metrics)   # sync inside the trace
 
         self.state = self.state.replace(
             learn_calls=self.state.learn_calls + 1)
@@ -248,9 +266,9 @@ class Trainer:
         it = self.iteration if iteration is None else iteration
         self.state = self.state.replace(
             iteration=jnp.asarray(it, jnp.int32))
-        path = self.cfg.checkpoint_path(f"iteration_{it}")
-        if is_coordinator():
-            path = ckpt.save_iteration_checkpoint(self.cfg, self.state, it)
+        # every process participates (Orbax save is a collective); plain
+        # filesystem writes inside happen on process 0 only
+        path = ckpt.save_iteration_checkpoint(self.cfg, self.state, it)
         if self.n_proc > 1:
             # Barrier: no host may proceed (or resume()) until process 0's
             # checkpoint is fully on disk — otherwise a fast host can race

@@ -41,6 +41,15 @@ function applyState(data) {
   state.gameOver = !!data.game_over;
   if (data.bot_move) addMove(data.bot_move, true);
   if (data.evaluation !== undefined) setEval(data.evaluation);
+  if (data.engine) {
+    // baseline engine search stats (depth/nodes/nps come with every
+    // baseline bot_move response; reference tracks these in
+    // baseline/search.py:147-148)
+    $("engineInfo").textContent =
+      `engine: depth ${data.engine.depth}  nodes ` +
+      `${data.engine.nodes.toLocaleString()}  ` +
+      `${Math.round(data.engine.nps).toLocaleString()} nps`;
+  }
   renderBoard();
   renderStatus(data.result);
 }
@@ -186,7 +195,14 @@ async function newGame() {
   state.selected = null;
   state.botLoop = false;
   $("moveList").innerHTML = "";
+  $("engineInfo").textContent = "";
   setEval(0);
+  // flip the eval bar toward the human when they play Black
+  // (reference web/app.js:130-136)
+  const humanIsBlack =
+    state.blackType === "human" && state.whiteType !== "human";
+  document.querySelector(".eval-bar").classList.toggle(
+    "flipped", humanIsBlack);
   const data = await api("/api/new", {
     white_type: state.whiteType,
     black_type: state.blackType,

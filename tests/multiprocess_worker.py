@@ -1,0 +1,171 @@
+"""Worker for the 2-process jax.distributed trainer harness.
+
+Launched by tests/test_multiprocess.py as 2 separate OS processes, each
+with 4 virtual CPU devices (XLA_FLAGS set by the parent), forming a real
+multi-host runtime: jax.process_count() == 2, jax.device_count() == 8.
+This executes the trainer code paths that single-process mesh tests cannot
+reach (VERDICT r2 item #1): process-local global-array assembly, the
+lockstep step-count broadcast with UNEQUAL host buffer sizes, host-local
+replay shards, coordinator-only filesystem writes, the post-save barrier,
+and multi-host resume.
+
+Usage: python multiprocess_worker.py <process_id> <port> <workdir>
+Writes <workdir>/result_p<process_id>.json and exits 0 on success.
+"""
+
+import hashlib
+import json
+import os
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+PID = int(sys.argv[1])
+PORT = sys.argv[2]
+WORKDIR = sys.argv[3]
+
+jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
+                           num_processes=2, process_id=PID)
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 8, jax.device_count()
+assert jax.local_device_count() == 4, jax.local_device_count()
+
+import numpy as np
+from jax.experimental import multihost_utils
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+from alphazero_tpu.config import tiny_config
+from alphazero_tpu.train import Trainer
+from alphazero_tpu.train.replay import host_data_path
+from alphazero_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
+result = {"process": PID, "checks": {}}
+
+
+def check(name, ok, detail=""):
+    result["checks"][name] = {"ok": bool(ok), "detail": str(detail)}
+    if not ok:
+        print(f"proc {PID}: CHECK FAILED {name}: {detail}", flush=True)
+
+
+def params_digest(state) -> int:
+    """64-bit digest of the full (host-local copy of the) param+stats tree,
+    in deterministic leaf order."""
+    leaves = jax.tree_util.tree_leaves_with_path(
+        {"params": state.params, "batch_stats": state.batch_stats})
+    h = hashlib.sha256()
+    for path, leaf in sorted(leaves, key=lambda kv: str(kv[0])):
+        arr = (leaf.addressable_data(0) if isinstance(leaf, jax.Array)
+               and not leaf.is_fully_addressable else leaf)
+        h.update(np.ascontiguousarray(np.asarray(arr)).tobytes())
+    return int.from_bytes(h.digest()[:8], "big")
+
+
+def assert_same_across_hosts(name, value: int):
+    gathered = np.asarray(
+        multihost_utils.process_allgather(np.uint64(value)))
+    check(name, len(set(gathered.tolist())) == 1, gathered.tolist())
+    return gathered
+
+
+# batch_size 128 (local 64) keeps the learn-step count small (~12-38
+# steps/iteration): under gloo each sharded step costs seconds of
+# small-message collective latency, so step count — not step size — is
+# what bounds this test's wall-clock.
+cfg = tiny_config(
+    checkpoint_dir=os.path.join(WORKDIR, "checkpoints"),
+    num_blocks=1, num_filters=8, num_simulations=8,
+    parallel_games=4, batch_size=128, selfplay_batches=1,
+    max_game_length=128)
+
+tr = Trainer(cfg, seed=0)
+check("nproc_seen_by_trainer", tr.n_proc == 2, tr.n_proc)
+
+# --- two full iterations in lockstep --------------------------------------
+for it in (1, 2):
+    if it == 2 and PID == 1:
+        # Force UNEQUAL host buffer sizes so the lockstep step-count
+        # broadcast (trainer.learn: broadcast_one_to_all) actually has to
+        # reconcile different local step counts.
+        tr.buffer.add_arrays(
+            np.zeros((50, 3, 8, 8), np.float32),
+            np.full((50, 192), 1 / 192, np.float32),
+            np.tile(np.array([1, 0], np.float32), (50, 1)))
+    tr.run_iteration()
+    assert_same_across_hosts(f"params_equal_after_iter{it}",
+                             params_digest(tr.state))
+    sizes = np.asarray(multihost_utils.process_allgather(
+        np.uint64(len(tr.buffer))))
+    result["checks"][f"buffer_sizes_iter{it}"] = {
+        "ok": True, "detail": sizes.tolist()}
+    if it == 2:
+        check("buffer_sizes_unequal_iter2",
+              sizes[0] != sizes[1], sizes.tolist())
+
+digest_after_train = params_digest(tr.state)
+
+# --- coordinator-only writes + host-local shards --------------------------
+multihost_utils.sync_global_devices("aztpu_test_files")
+ckpt_dir = cfg.checkpoint_dir
+metrics_path = cfg.checkpoint_path("metrics.jsonl")
+with open(metrics_path) as f:
+    n_metric_lines = sum(1 for _ in f)
+# 2 iterations -> exactly 2 lines; 4 would mean both hosts wrote
+check("metrics_written_once_per_iteration", n_metric_lines == 2,
+      n_metric_lines)
+check("checkpoints_present",
+      sorted(d for d in os.listdir(ckpt_dir) if d.startswith("iteration_"))
+      == ["iteration_1", "iteration_2"], sorted(os.listdir(ckpt_dir)))
+check("no_stale_tmp_dirs",
+      not any(d.endswith(".tmp_ocp") for d in os.listdir(ckpt_dir)),
+      sorted(os.listdir(ckpt_dir)))
+
+shard0 = host_data_path(cfg.checkpoint_path(cfg.data_file), 0)
+shard1 = host_data_path(cfg.checkpoint_path(cfg.data_file), 1)
+check("host_shards_present",
+      os.path.exists(shard0) and os.path.exists(shard1),
+      (shard0, os.path.exists(shard0), shard1, os.path.exists(shard1)))
+if os.path.exists(shard0) and os.path.exists(shard1):
+    d0, d1 = np.load(shard0), np.load(shard1)
+    same_shape = d0["policies"].shape == d1["policies"].shape
+    identical = same_shape and np.array_equal(d0["policies"],
+                                              d1["policies"])
+    # each host must have played DIFFERENT games (per-host rng folding)
+    check("host_shards_disjoint", not identical,
+          (d0["policies"].shape, d1["policies"].shape))
+
+# --- resume on BOTH hosts -------------------------------------------------
+tr2 = Trainer(cfg, seed=99)   # different seed: params must come from disk
+it = tr2.resume()
+check("resume_iteration", it == 2, it)
+check("resume_restores_saved_params",
+      params_digest(tr2.state) == digest_after_train,
+      (params_digest(tr2.state), digest_after_train))
+assert_same_across_hosts("params_equal_after_resume",
+                         params_digest(tr2.state))
+loaded = np.asarray(multihost_utils.process_allgather(
+    np.uint64(len(tr2.buffer))))
+check("resume_reloads_host_local_buffer", all(v > 0 for v in loaded),
+      loaded.tolist())
+
+# the resumed trainer must keep training in lockstep
+tr2.run_iteration()
+check("post_resume_iteration", tr2.iteration == 3, tr2.iteration)
+assert_same_across_hosts("params_equal_after_post_resume_iter",
+                         params_digest(tr2.state))
+
+ok = all(c["ok"] for c in result["checks"].values())
+result["ok"] = ok
+with open(os.path.join(WORKDIR, f"result_p{PID}.json"), "w") as f:
+    json.dump(result, f, indent=1)
+print(f"proc {PID}: {'OK' if ok else 'FAILED'} "
+      f"({sum(c['ok'] for c in result['checks'].values())}"
+      f"/{len(result['checks'])} checks)", flush=True)
+sys.exit(0 if ok else 1)

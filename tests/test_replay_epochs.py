@@ -84,11 +84,14 @@ class TestMultiHostWriteGuard:
         # package index, so patch each consuming module's reference
         import alphazero_tpu.arena.elo as elo_mod
         import alphazero_tpu.train.trainer as trainer_mod
+        import alphazero_tpu.utils as utils_pkg
         import alphazero_tpu.utils.runtime as runtime_mod
 
         monkeypatch.setattr(runtime_mod, "is_coordinator", lambda: False)
         monkeypatch.setattr(trainer_mod, "is_coordinator", lambda: False)
         monkeypatch.setattr(elo_mod, "is_coordinator", lambda: False)
+        # checkpoint.py imports the name from the package at call time
+        monkeypatch.setattr(utils_pkg, "is_coordinator", lambda: False)
 
     def test_trainer_writes_skipped(self, tmp_path, monkeypatch):
         from alphazero_tpu.config import tiny_config
