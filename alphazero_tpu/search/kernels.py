@@ -165,7 +165,9 @@ def _commit_edges_tpu(rows, node, act, upd, offsets):
             for k, off in enumerate(offsets):
                 p = off + a
                 hit = (iota_row == p // L) & (iota_col == p % L)
-                add = add + jnp.where(hit, upd_ref[b, k],
+                # upd is staged f32 in SMEM (16-bit scalars are not SMEM
+                # types); cast to the row dtype at apply time
+                add = add + jnp.where(hit, upd_ref[b, k].astype(dtype),
                                       jnp.zeros((), dtype))
             out_scratch[slot] = in_scratch[slot] + add
             out_dma(b).start()
@@ -222,5 +224,7 @@ def commit_edges(rows: jax.Array, node: jax.Array, act: jax.Array,
     touched by different games never collide (the leading dim separates
     them)."""
     if _tpu():
-        return _commit_edges_tpu(rows, node, act, upd, tuple(offsets))
-    return _commit_edges_xla(rows, node, act, upd, tuple(offsets))
+        return _commit_edges_tpu(rows, node, act,
+                                 upd.astype(jnp.float32), tuple(offsets))
+    return _commit_edges_xla(rows, node, act, upd.astype(rows.dtype),
+                             tuple(offsets))

@@ -49,6 +49,10 @@ def build_config(args):
         over["num_simulations_inference"] = max(1, args.sims // 2)
     if args.games is not None:
         over["parallel_games"] = args.games
+    if getattr(args, "selfplay_batches", None) is not None:
+        over["selfplay_batches"] = args.selfplay_batches
+    if getattr(args, "buffer", None) is not None:
+        over["buffer_size"] = args.buffer
     if args.scan_blocks:
         over["scan_blocks"] = True
     return cfg.replace(**over) if over else cfg
@@ -62,6 +66,11 @@ def main() -> None:
     add_common(p_train)
     p_train.add_argument("--iterations", type=int, default=None,
                          help="stop after N iterations (default: forever)")
+    p_train.add_argument("--selfplay-batches", type=int, default=None,
+                         help="self-play rounds per iteration (games/iter = "
+                              "batches x games; reference: 8 x 128)")
+    p_train.add_argument("--buffer", type=int, default=None,
+                         help="replay buffer capacity (reference: 300000)")
 
     p_arena = sub.add_parser("arena", help="continuous ELO matchmaking")
     add_common(p_arena)

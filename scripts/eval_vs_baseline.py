@@ -5,7 +5,12 @@ Plays N games (colors alternating) between a checkpoint (greedy
 alpha-beta engine at a fixed time budget, and reports the score.
 
     PYTHONPATH=. python scripts/eval_vs_baseline.py <checkpoint_dir> \
-        [games] [baseline_ms]
+        [games] [baseline_ms] [opening_plies]
+
+With ``opening_plies`` > 0, games run as color-swapped PAIRS sharing a
+seeded random opening (the arena's protocol, reference arena.py:310-363;
+pair 0 is the standard start) — de-correlating games that deterministic
+players would otherwise repeat.
 """
 import os
 import sys
@@ -30,6 +35,7 @@ from alphazero_tpu.env.breakthrough import EnvState
 ckpt_dir = sys.argv[1]
 n_games = int(sys.argv[2]) if len(sys.argv) > 2 else 10
 baseline_ms = int(sys.argv[3]) if len(sys.argv) > 3 else 500
+opening_plies = int(sys.argv[4]) if len(sys.argv) > 4 else 0
 
 cfg = Config(checkpoint_dir=ckpt_dir.rsplit("/", 1)[0] or ".")
 name = ckpt_dir.rsplit("/", 1)[-1]
@@ -51,8 +57,21 @@ def az_move(states):
     return root_action_probs(tree, 0.0).argmax(-1)
 
 
-def play(az_is_white: bool, seed: int):
-    g = OracleGame()
+def make_opening(pair: int) -> "OracleGame":
+    if opening_plies == 0 or pair == 0:
+        return OracleGame()
+    import copy
+    import random as _random
+
+    from alphazero_tpu.arena.match import random_opening
+
+    return random_opening(_random.Random(1000 + pair), opening_plies)
+
+
+def play(az_is_white: bool, opening: "OracleGame"):
+    import copy
+
+    g = copy.deepcopy(opening)
     engine = Search(time_limit_ms=baseline_ms)
     import jax.numpy as jnp
     while not g.is_terminal() and g.move_count < 512:
@@ -87,12 +106,14 @@ wins = 0
 t0 = time.time()
 for i in range(n_games):
     az_white = i % 2 == 0
-    won = play(az_white, i)
+    opening = make_opening(i // 2)
+    won = play(az_white, opening)
     wins += won
+    tag = f"opening {i // 2}" if opening_plies else "standard start"
     print(f"game {i+1}/{n_games}: AZ as "
-          f"{'White' if az_white else 'Black'} -> "
+          f"{'White' if az_white else 'Black'} ({tag}) -> "
           f"{'WIN' if won else 'loss'}  (running {wins}/{i+1})", flush=True)
 
 print(f"\n{name} ({cfg.num_simulations_inference} sims) vs baseline "
-      f"({baseline_ms}ms): {wins}/{n_games} "
+      f"({baseline_ms}ms, openings={opening_plies}): {wins}/{n_games} "
       f"({100*wins/n_games:.0f}%) in {time.time()-t0:.0f}s")
