@@ -59,6 +59,13 @@ class Config:
     # --- Precision ---
     inference_dtype: str = "bfloat16"  # activations in search; params stay f32
     train_dtype: str = "float32"
+    # Dtype of the fused Tree.rows (visits/values/priors/pointers). The tree
+    # is the dominant non-param HBM consumer and its DMA traffic the tree-op
+    # cost floor, so 16-bit halves the bytes. "float16" is exact for
+    # integers <= 2048 (safe for <= 2047-slot trees); "bfloat16" corrupts
+    # counters past 256 visits and must not be used at production sim
+    # counts. Measured on chip: scripts/probe_value_dtype.py.
+    value_dtype: str = "float32"
 
     # --- Compile/runtime trade (docs/compile-latency.md) ---
     # True: residual tower as one nn.scan block -> 14x faster cold compile,

@@ -162,6 +162,19 @@ def init_tree(root_states: env.EnvState, spec: SearchSpec) -> Tree:
     B = root_states.turn.shape[0]
     N, A = spec.capacity, spec.num_actions
     vdt = spec.value_dtype
+    # The fused row stores child POINTERS and VISIT COUNTS in vdt, so vdt
+    # must represent every integer up to capacity/num_simulations exactly:
+    # float16 is exact to 2048, bfloat16 only to 256 (an 800-sim bf16
+    # search literally cannot count past 256 — scripts/probe_value_dtype.py
+    # measures the corruption). Reject invalid combinations at trace time.
+    if jnp.dtype(vdt).itemsize < 4:
+        max_exact = 256 if jnp.dtype(vdt) == jnp.bfloat16 else 2048
+        if N + 1 > max_exact or spec.num_simulations >= max_exact:
+            raise ValueError(
+                f"value_dtype={jnp.dtype(vdt).name} represents integers "
+                f"exactly only up to {max_exact}; capacity {N + 1} / "
+                f"{spec.num_simulations} sims would corrupt visit counts "
+                f"and child pointers")
     rows = jnp.concatenate(
         [jnp.full((B, N + 1, A), ILLEGAL, vdt),
          jnp.zeros((B, N + 1, 3 * A), vdt)], axis=2

@@ -162,6 +162,7 @@ def selfplay_games(
         tree_reuse=cfg.tree_reuse,
         dirichlet_alpha=cfg.dirichlet_alpha,
         dirichlet_epsilon=cfg.dirichlet_epsilon,
+        value_dtype=jnp.dtype(cfg.value_dtype),
     )
 
     states = env.initial_state((num_games,))
@@ -317,6 +318,7 @@ def selfplay_games_continuous(
         tree_reuse=cfg.tree_reuse,
         dirichlet_alpha=cfg.dirichlet_alpha,
         dirichlet_epsilon=cfg.dirichlet_epsilon,
+        value_dtype=jnp.dtype(cfg.value_dtype),
     )
     B = min(num_games, cfg.parallel_games)
 

@@ -44,11 +44,13 @@ def main():
     num_games = int(os.environ.get("AZTPU_BENCH_GAMES", "512"))
     num_sims = int(os.environ.get("AZTPU_BENCH_SIMS", "800"))
     reps = int(os.environ.get("AZTPU_BENCH_REPS", "3"))
+    value_dtype = os.environ.get("AZTPU_BENCH_VALUE_DTYPE", "float32")
 
     dev = jax.devices()[0]
-    log(f"device: {dev}, games={num_games}, sims={num_sims}")
+    log(f"device: {dev}, games={num_games}, sims={num_sims}, "
+        f"tree dtype={value_dtype}")
 
-    cfg = Config(num_simulations=num_sims)
+    cfg = Config(num_simulations=num_sims, value_dtype=value_dtype)
     net, variables = init_network(cfg, jax.random.PRNGKey(0),
                                   dtype=jnp.bfloat16)
     eval_fn = make_net_evaluator(net, variables, dtype=jnp.float32)
@@ -58,6 +60,7 @@ def main():
         fpu_reduction=cfg.fpu_reduction,
         dirichlet_alpha=cfg.dirichlet_alpha,
         dirichlet_epsilon=cfg.dirichlet_epsilon,
+        value_dtype=jnp.dtype(cfg.value_dtype),
     )
 
     states = initial_state((num_games,))

@@ -32,6 +32,11 @@ def add_common(p: argparse.ArgumentParser) -> None:
                         "see docs/compile-latency.md)")
     p.add_argument("--distributed", action="store_true",
                    help="initialize the JAX multi-host runtime")
+    p.add_argument("--value-dtype", default=None,
+                   choices=["float32", "float16"],
+                   help="dtype of the search tree rows (float16 halves "
+                        "tree HBM/DMA bytes; exact for <=2047-slot trees; "
+                        "see scripts/probe_value_dtype.py)")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -55,6 +60,8 @@ def build_config(args):
         over["buffer_size"] = args.buffer
     if args.scan_blocks:
         over["scan_blocks"] = True
+    if args.value_dtype is not None:
+        over["value_dtype"] = args.value_dtype
     return cfg.replace(**over) if over else cfg
 
 
