@@ -1,0 +1,148 @@
+"""int8 inference path (models/quant.py): BN folding is exact, the
+quantized forward tracks the f32 net, both tower layouts quantize, and
+the evaluator drives a real search."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from alphazero_tpu.config import Config
+from alphazero_tpu.env import initial_state, legal_action_mask
+from alphazero_tpu.models import init_network
+from alphazero_tpu.models.network import policy_value_apply
+from alphazero_tpu.models.quant import (
+    _fold, make_quant_evaluator, quant_apply, quantize_network,
+)
+from alphazero_tpu.search import SearchSpec, search
+from alphazero_tpu.search.mcts import root_child_visits
+
+
+def _roughen(variables, seed=0):
+    """Random-init nets are too bland to stress quantization (BN stats are
+    mean 0 / var 1, logits ~0). Perturb stats and scale kernels so the
+    forward has real per-channel dynamic range."""
+    rng = np.random.RandomState(seed)
+
+    def bump(path, a):
+        a = np.asarray(a)
+        name = "/".join(str(p.key) for p in path)
+        if name.endswith("mean"):
+            return a + rng.normal(0, 0.3, a.shape).astype(a.dtype)
+        if name.endswith("var"):
+            return a * rng.uniform(0.5, 2.0, a.shape).astype(a.dtype)
+        if name.endswith("kernel"):
+            return a * rng.uniform(0.8, 1.6)
+        return a
+
+    return jax.tree_util.tree_map_with_path(bump, variables)
+
+
+def _tiny(scan_blocks=False, seed=0):
+    cfg = Config(num_blocks=3, num_filters=32, scan_blocks=scan_blocks)
+    net, variables = init_network(cfg, jax.random.PRNGKey(seed))
+    return cfg, net, _roughen(variables, seed)
+
+
+def _planes(cfg, n=64, seed=1):
+    rng = np.random.RandomState(seed)
+    mine = rng.rand(n, 1, 8, 8) < 0.2
+    theirs = (rng.rand(n, 1, 8, 8) < 0.2) & ~mine
+    ones = np.ones((n, 1, 8, 8))
+    return jnp.asarray(
+        np.concatenate([mine, theirs, ones], axis=1), jnp.float32)
+
+
+def test_bn_fold_exact():
+    """conv->BN(inference) == folded conv + bias, to f32 roundoff."""
+    import flax.linen as nn
+
+    class ConvBN(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.Conv(16, (3, 3), padding="SAME", use_bias=False,
+                        name="conv")(x)
+            return nn.BatchNorm(use_running_average=True, name="bn")(x)
+
+    m = ConvBN()
+    x = jnp.asarray(np.random.RandomState(0).randn(8, 8, 8, 12), jnp.float32)
+    variables = m.init(jax.random.PRNGKey(0), x)
+    variables = _roughen(variables)
+    want = m.apply(variables, x)
+
+    folded, bias = _fold(variables["params"]["conv"]["kernel"],
+                         variables["params"]["bn"],
+                         variables["batch_stats"]["bn"])
+    got = jax.lax.conv_general_dilated(
+        x, folded, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC")) + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("scan_blocks", [False, True])
+def test_quant_tracks_f32(scan_blocks):
+    """int8 policy stays close to f32 in TV and argmax; value MAE small."""
+    cfg, net, variables = _tiny(scan_blocks)
+    planes = _planes(cfg)
+
+    pol_f, val_f = policy_value_apply(net, variables, planes)
+    qp = quantize_network(net, variables)
+    pl, wl = quant_apply(qp, planes, dtype=jnp.float32)
+    pol_q = jax.nn.softmax(pl, axis=-1)
+    from alphazero_tpu.models.network import wl_to_value
+    val_q = wl_to_value(wl)
+
+    tv = 0.5 * np.abs(np.asarray(pol_q) - np.asarray(pol_f)).sum(-1)
+    agree = (np.asarray(pol_q).argmax(-1) == np.asarray(pol_f).argmax(-1))
+    assert tv.mean() < 0.02, tv.mean()
+    assert agree.mean() > 0.95, agree.mean()
+    assert np.abs(np.asarray(val_q) - np.asarray(val_f)).mean() < 0.02
+
+
+def test_scanned_and_inlined_layouts_quantize_identically():
+    """The same weights quantize to the same qparams regardless of tower
+    layout (the scanned tree is the inlined one stacked on axis 0)."""
+    cfg, net_i, var_i = _tiny(scan_blocks=False)
+
+    bp = var_i["params"]
+    bs = var_i["batch_stats"]
+    stack = lambda trees: jax.tree_util.tree_map(
+        lambda *a: jnp.stack(a), *trees)
+    var_s = {
+        "params": {
+            **{k: v for k, v in bp.items() if not k.startswith("block_")},
+            "tower": {"block": stack(
+                [bp[f"block_{i}"] for i in range(cfg.num_blocks)])},
+        },
+        "batch_stats": {
+            **{k: v for k, v in bs.items() if not k.startswith("block_")},
+            "tower": {"block": stack(
+                [bs[f"block_{i}"] for i in range(cfg.num_blocks)])},
+        },
+    }
+    net_s = net_i.clone(scan_blocks=True)
+
+    qi = quantize_network(net_i, var_i)
+    qs = quantize_network(net_s, var_s)
+    for a, b in zip(jax.tree_util.tree_leaves(qi),
+                    jax.tree_util.tree_leaves(qs)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_quant_evaluator_drives_search():
+    """make_quant_evaluator satisfies the search Evaluator contract and a
+    16-sim search returns legal, normalized visit distributions."""
+    cfg, net, variables = _tiny()
+    eval_fn = make_quant_evaluator(net, variables)
+
+    states = initial_state((4,))
+    spec = SearchSpec(num_simulations=16, c_puct=cfg.c_puct,
+                      dirichlet_alpha=cfg.dirichlet_alpha,
+                      dirichlet_epsilon=0.0)
+    tree = search(states, eval_fn, spec, rng=jax.random.PRNGKey(0))
+    v = np.asarray(root_child_visits(tree), np.float64)
+    pi = v / v.sum(-1, keepdims=True)
+    legal = np.asarray(legal_action_mask(states))
+    assert (pi[~legal] == 0).all()
+    np.testing.assert_allclose(pi.sum(-1), 1.0, rtol=1e-6)
