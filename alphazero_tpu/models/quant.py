@@ -15,10 +15,14 @@ the reference infers in f32 torch, /root/reference/src/model.py):
 - Activations: symmetric per-tensor DYNAMIC int8 (scale recomputed from
   the live batch each call — no calibration set needed; the amax
   reduction is VPU-trivial next to the conv).
-- All 2N+2 3x3 convs (input conv, 2 per block, policy-head conv) run
-  s8 x s8 -> s32 on the MXU, dequantized + bias + ReLU fused by XLA.
+- The 2N+1 tower 3x3 convs (input conv, 2 per block) run s8 x s8 -> s32
+  on the MXU, dequantized + bias + ReLU fused by XLA.
 - Everything cheap stays in ``dtype`` (default bf16): SE blocks (~5% of
-  eval cost), residual adds, the 1x1 value conv, all FC heads, softmax.
+  eval cost), residual adds, the 1x1 value conv, all FC heads, softmax —
+  and the policy-head 3x3 conv, whose quantization noise hits the logits
+  directly: keeping it float cuts policy TV 0.023 -> 0.015 for ~2.4% of
+  conv FLOPs (docs/quant-int8.md; keeping the last residual block float
+  as well was measured and buys nothing).
 
 Accuracy is measured, not assumed: tests/test_quant.py bounds the policy
 TV vs the f32 net on CPU; scripts/probe_quant.py measures ms/eval,
@@ -128,8 +132,10 @@ def quantize_network(net: AlphaZeroNet, variables: Dict[str, Any]
         "input": qconv_entry(params["input_conv"]["kernel"],
                              params["input_bn"], stats["input_bn"]),
         "blocks": blocks,
-        "policy": qconv_entry(params["policy_conv"]["kernel"],
-                              params["policy_bn"], stats["policy_bn"]),
+        # policy head stays float: its quant noise lands on the logits
+        # unaveraged (measured: float here is worth TV 0.023 -> 0.015)
+        "policy": _fold(params["policy_conv"]["kernel"],
+                        params["policy_bn"], stats["policy_bn"]),
         "policy_fc": params["policy_fc"],
         # value head stays float: 1x1x32 conv + tiny FCs, <2% of eval cost
         "value_conv": _fold(params["value_conv"]["kernel"],
@@ -159,15 +165,16 @@ def quant_apply(qp: Dict[str, Any], planes: jax.Array,
         y = _se(y, b["se"], dtype)
         x = jax.nn.relu(y + x)
 
-    e = qp["policy"]
-    p = jax.nn.relu(_qconv(x, e["qk"], e["scale"], e["bias"], dtype))
+    def float_conv(x, kernel, bias):
+        y = lax.conv_general_dilated(
+            x.astype(dtype), kernel.astype(dtype), window_strides=(1, 1),
+            padding="SAME", dimension_numbers=_CONV_DN)
+        return jax.nn.relu(y + bias.astype(dtype))
+
+    p = float_conv(x, *qp["policy"])
     policy_logits = _dense(p.reshape(p.shape[0], -1), qp["policy_fc"], dtype)
 
-    vk, vb = qp["value_conv"]
-    v = lax.conv_general_dilated(
-        x.astype(dtype), vk.astype(dtype), window_strides=(1, 1),
-        padding="SAME", dimension_numbers=_CONV_DN)
-    v = jax.nn.relu(v + vb.astype(dtype))
+    v = float_conv(x, *qp["value_conv"])
     v = jax.nn.relu(_dense(v.reshape(v.shape[0], -1), qp["value_fc1"], dtype))
     wl_logits = _dense(v, qp["value_fc2"], dtype)
 

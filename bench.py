@@ -13,6 +13,8 @@ Env knobs: AZTPU_BENCH_GAMES (512), AZTPU_BENCH_SIMS (800),
 AZTPU_BENCH_REPS (3), AZTPU_BENCH_MODE=move|selfplay — ``selfplay`` plays
 whole games to completion through the full actor loop and reports
 games/hour + env-steps/s on stderr alongside the sims/s metric.
+AZTPU_BENCH_QUANT=1 swaps in the int8 evaluator (models/quant.py) for
+A/B runs; the default stays bf16.
 """
 
 import functools
@@ -53,7 +55,13 @@ def main():
     cfg = Config(num_simulations=num_sims, value_dtype=value_dtype)
     net, variables = init_network(cfg, jax.random.PRNGKey(0),
                                   dtype=jnp.bfloat16)
-    eval_fn = make_net_evaluator(net, variables, dtype=jnp.float32)
+    if os.environ.get("AZTPU_BENCH_QUANT", "0") == "1":
+        from alphazero_tpu.models.quant import make_quant_evaluator
+
+        log("evaluator: int8 (models/quant.py)")
+        eval_fn = make_quant_evaluator(net, variables)
+    else:
+        eval_fn = make_net_evaluator(net, variables, dtype=jnp.float32)
     spec = SearchSpec(
         num_simulations=num_sims,
         c_puct=cfg.c_puct,
