@@ -82,10 +82,15 @@ def play_paired_matches(
     cfg: Config,
     num_simulations: int | None = None,
     max_moves: int | None = None,
+    pair_eval_fn=None,
 ) -> Tuple[int, int]:
     """Play each opening twice (colors swapped) in one lockstep batch.
 
     Returns (wins_a, wins_b). Game 2k: A as White; game 2k+1: B as White.
+    ``pair_eval_fn(planes, a_to_move)`` overrides the default two-net
+    evaluator — used to match different INFERENCE PATHS over the same
+    weights (e.g. int8 vs bf16, scripts/eval_quant_match.py); nets/vars
+    are ignored when it is given.
     """
     sims = num_simulations or cfg.num_simulations_inference
     spec = SearchSpec(num_simulations=sims, c_puct=cfg.c_puct,
@@ -104,7 +109,8 @@ def play_paired_matches(
     )
     a_is_white = jnp.asarray([i % 2 == 0 for i in range(B)])
 
-    eval_fn = make_pair_evaluator(net_a, vars_a, net_b, vars_b)
+    eval_fn = pair_eval_fn or make_pair_evaluator(net_a, vars_a,
+                                                  net_b, vars_b)
     for _ in range(max_moves):
         if bool(np.all(np.asarray(states.done))):
             break
