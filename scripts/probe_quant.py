@@ -57,14 +57,21 @@ SIMS = int(sys.argv[3]) if len(sys.argv) > 3 else 800
 # CPU smoke: AZTPU_PROBE_BLOCKS/FILTERS shrink the net so the script can
 # be driven end-to-end without a 20x128 compile (quality numbers are then
 # meaningless; on-chip runs use the defaults).
-cfg = Config(num_simulations=SIMS,
+# AZTPU_SCAN=1: scanned tower -> ~14x faster cold compiles; relative
+# int8-vs-bf16 deltas carry over (same pattern as probe_value_dtype.py).
+SCAN = os.environ.get("AZTPU_SCAN", "0") == "1"
+cfg = Config(num_simulations=SIMS, scan_blocks=SCAN,
              num_blocks=int(os.environ.get("AZTPU_PROBE_BLOCKS", "20")),
              num_filters=int(os.environ.get("AZTPU_PROBE_FILTERS", "128")))
 if os.path.isdir(CKPT):
     from alphazero_tpu.arena.runner import load_model_variables
     net, variables = load_model_variables(
         cfg.replace(checkpoint_dir=os.path.dirname(CKPT)), CKPT)
-    print(f"checkpoint: {CKPT}", flush=True)
+    if SCAN and not net.scan_blocks:
+        from alphazero_tpu.models.network import stack_tower
+        variables = stack_tower(variables, net.num_blocks)
+        net = net.clone(scan_blocks=True)
+    print(f"checkpoint: {CKPT} (scan_blocks={net.scan_blocks})", flush=True)
 else:
     net, variables = init_network(cfg, jax.random.PRNGKey(0),
                                   dtype=jnp.bfloat16)

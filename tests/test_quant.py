@@ -102,26 +102,21 @@ def test_quant_tracks_f32(scan_blocks):
 
 def test_scanned_and_inlined_layouts_quantize_identically():
     """The same weights quantize to the same qparams regardless of tower
-    layout (the scanned tree is the inlined one stacked on axis 0)."""
-    cfg, net_i, var_i = _tiny(scan_blocks=False)
+    layout, and stack_tower's converted variables run bit-close under the
+    scanned net."""
+    from alphazero_tpu.models.network import stack_tower
 
-    bp = var_i["params"]
-    bs = var_i["batch_stats"]
-    stack = lambda trees: jax.tree_util.tree_map(
-        lambda *a: jnp.stack(a), *trees)
-    var_s = {
-        "params": {
-            **{k: v for k, v in bp.items() if not k.startswith("block_")},
-            "tower": {"block": stack(
-                [bp[f"block_{i}"] for i in range(cfg.num_blocks)])},
-        },
-        "batch_stats": {
-            **{k: v for k, v in bs.items() if not k.startswith("block_")},
-            "tower": {"block": stack(
-                [bs[f"block_{i}"] for i in range(cfg.num_blocks)])},
-        },
-    }
+    cfg, net_i, var_i = _tiny(scan_blocks=False)
+    var_s = stack_tower(var_i, cfg.num_blocks)
     net_s = net_i.clone(scan_blocks=True)
+
+    planes = _planes(cfg, n=16)
+    pol_i, val_i = policy_value_apply(net_i, var_i, planes)
+    pol_s, val_s = policy_value_apply(net_s, var_s, planes)
+    np.testing.assert_allclose(np.asarray(pol_s), np.asarray(pol_i),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(val_s), np.asarray(val_i),
+                               rtol=1e-5, atol=1e-6)
 
     qi = quantize_network(net_i, var_i)
     qs = quantize_network(net_s, var_s)
