@@ -12,9 +12,11 @@ the reference infers in f32 torch, /root/reference/src/model.py):
 - BatchNorm folded into the preceding conv (inference-only identity):
   w' = w * gamma/sqrt(var+eps), b' = beta - mean*gamma/sqrt(var+eps).
 - Conv weights: symmetric per-OUTPUT-CHANNEL int8 (scale = amax/127).
-- Activations: symmetric per-tensor DYNAMIC int8 (scale recomputed from
-  the live batch each call — no calibration set needed; the amax
-  reduction is VPU-trivial next to the conv).
+- Activations: symmetric per-tensor int8, DYNAMIC by default (scale
+  recomputed from the live batch each call — no calibration needed) or
+  STATIC via ``calibrate`` (scales pre-measured on replay data; removes
+  the per-layer amax reduction from the compiled program; accuracy
+  measured equal to dynamic on the real checkpoint, docs/quant-int8.md).
 - The 2N+1 tower 3x3 convs (input conv, 2 per block) run s8 x s8 -> s32
   on the MXU, dequantized + bias + ReLU fused by XLA.
 - Everything cheap stays in ``dtype`` (default bf16): SE blocks (~5% of
@@ -65,16 +67,20 @@ def _quant_weight(kernel: jax.Array) -> Tuple[jax.Array, jax.Array]:
 
 
 def _qconv(x: jax.Array, qk: jax.Array, wscale: jax.Array,
-           bias: jax.Array, dtype: Any) -> jax.Array:
-    """s8 x s8 -> s32 SAME conv with dynamic per-tensor input quant.
+           bias: jax.Array, dtype: Any, xs: jax.Array | None = None
+           ) -> jax.Array:
+    """s8 x s8 -> s32 SAME conv with per-tensor input quant.
 
     x: (B, 8, 8, Cin) float; returns (B, 8, 8, Cout) in ``dtype``
-    (dequantized, bias added; no activation).
+    (dequantized, bias added; no activation). ``xs`` is the input quant
+    scale: None computes it dynamically from the live batch (a full amax
+    reduction between layers); a static scalar (from ``calibrate``)
+    removes that dependency chain and lets out-of-range values saturate.
     """
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
-    xs = jnp.maximum(amax, 1e-6) / 127.0
-    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / xs), -127, 127
-                  ).astype(jnp.int8)
+    xf = x.astype(jnp.float32)
+    if xs is None:
+        xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-6) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
     y = lax.conv_general_dilated(
         xq, qk, window_strides=(1, 1), padding="SAME",
         dimension_numbers=_CONV_DN, preferred_element_type=jnp.int32)
@@ -146,22 +152,36 @@ def quantize_network(net: AlphaZeroNet, variables: Dict[str, Any]
 
 
 def quant_apply(qp: Dict[str, Any], planes: jax.Array,
-                dtype: Any = jnp.bfloat16) -> Tuple[jax.Array, jax.Array]:
+                dtype: Any = jnp.bfloat16,
+                act_scales: Dict[str, Any] | None = None,
+                _collect: list | None = None
+                ) -> Tuple[jax.Array, jax.Array]:
     """int8 forward: (B, 3, 8, 8) planes -> (policy_logits, wl_logits) f32.
 
     Mirrors AlphaZeroNet.__call__ (network.py:123-171) with the 3x3 convs
-    in s8 and everything else in ``dtype``.
+    in s8 and everything else in ``dtype``. ``act_scales`` (from
+    ``calibrate``) switches activation quantization from dynamic to
+    static scales; ``_collect`` is calibrate's amax recorder.
     """
+    sc = act_scales
+
+    def pre(x, key):
+        if _collect is not None:
+            _collect.append((key, jnp.max(jnp.abs(x.astype(jnp.float32)))))
+        return None if sc is None else sc[key]
+
     x = jnp.transpose(planes, (0, 2, 3, 1))  # NHWC
 
     e = qp["input"]
-    x = jax.nn.relu(_qconv(x, e["qk"], e["scale"], e["bias"], dtype))
+    x = jax.nn.relu(_qconv(x, e["qk"], e["scale"], e["bias"], dtype,
+                           xs=pre(x, "input")))
 
-    for b in qp["blocks"]:
+    for i, b in enumerate(qp["blocks"]):
         y = jax.nn.relu(_qconv(x, b["conv1"]["qk"], b["conv1"]["scale"],
-                               b["conv1"]["bias"], dtype))
+                               b["conv1"]["bias"], dtype,
+                               xs=pre(x, f"b{i}c1")))
         y = _qconv(y, b["conv2"]["qk"], b["conv2"]["scale"],
-                   b["conv2"]["bias"], dtype)
+                   b["conv2"]["bias"], dtype, xs=pre(y, f"b{i}c2"))
         y = _se(y, b["se"], dtype)
         x = jax.nn.relu(y + x)
 
@@ -181,14 +201,41 @@ def quant_apply(qp: Dict[str, Any], planes: jax.Array,
     return policy_logits.astype(jnp.float32), wl_logits.astype(jnp.float32)
 
 
+def calibrate(qp: Dict[str, Any], planes_batches: List[jax.Array],
+              margin: float = 1.0) -> Dict[str, jax.Array]:
+    """Static per-tensor activation scales from calibration data.
+
+    Runs the int8 forward over ``planes_batches`` (e.g. replay-buffer
+    samples) recording each quant point's input amax; returns
+    {point: scale} with scale = margin * max-over-batches(amax) / 127.
+    Static scales remove the per-layer amax reduction from the compiled
+    forward; inputs beyond the calibrated range saturate at +-127.
+    """
+    maxes: Dict[str, jax.Array] = {}
+
+    @jax.jit
+    def one(planes):
+        rec: list = []
+        quant_apply(qp, planes, _collect=rec)
+        return dict(rec)
+
+    for planes in planes_batches:
+        for k, v in one(planes).items():
+            maxes[k] = jnp.maximum(maxes[k], v) if k in maxes else v
+    return {k: margin * jnp.maximum(v, 1e-6) / 127.0
+            for k, v in maxes.items()}
+
+
 def make_quant_evaluator(net: AlphaZeroNet, variables: Dict[str, Any],
-                         dtype: Any = jnp.bfloat16):
+                         dtype: Any = jnp.bfloat16,
+                         act_scales: Dict[str, Any] | None = None):
     """Search-compatible evaluator (same contract as make_net_evaluator,
     search/mcts.py:679-687) over the int8-quantized checkpoint."""
     qp = quantize_network(net, variables)
 
     def eval_fn(planes: jax.Array):
-        policy_logits, wl_logits = quant_apply(qp, planes, dtype=dtype)
+        policy_logits, wl_logits = quant_apply(qp, planes, dtype=dtype,
+                                               act_scales=act_scales)
         return jax.nn.softmax(policy_logits, axis=-1), wl_to_value(wl_logits)
 
     return eval_fn

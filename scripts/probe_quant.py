@@ -81,6 +81,24 @@ else:
 eval_bf16 = make_net_evaluator(net, variables, dtype=jnp.float32)
 eval_int8 = make_quant_evaluator(net, variables)
 
+# int8-static arm: activation scales calibrated once (replay buffer if
+# available, else opening positions) — removes the per-layer dynamic amax
+# reduction from the compiled forward (see quant.calibrate).
+from alphazero_tpu.models.quant import calibrate, quantize_network as _qn
+
+_npz = os.path.join(os.path.dirname(CKPT), "training_data.npz")
+if os.path.exists(_npz):
+    _d = np.load(_npz, mmap_mode="r")
+    _ci = np.random.RandomState(42).choice(len(_d["states"]), 512,
+                                           replace=False)
+    _cal = [jnp.asarray(np.asarray(_d["states"][np.sort(_ci)][i * 256:
+                                                             (i + 1) * 256]),
+                        jnp.float32) for i in range(2)]
+else:
+    _cal = [jnp.zeros((256, 3, 8, 8), jnp.float32).at[:, 2].set(1.0)]
+_scales = calibrate(_qn(net, variables), _cal)
+eval_int8s = make_quant_evaluator(net, variables, act_scales=_scales)
+
 
 def spec_for(eps):
     return SearchSpec(num_simulations=SIMS, c_puct=cfg.c_puct,
@@ -94,7 +112,9 @@ planes = jnp.zeros((GAMES, 3, 8, 8), jnp.float32).at[:, 2].set(1.0)
 qp = quantize_network(net, variables)
 apply_bf16 = jax.jit(lambda x: policy_value_apply(net, variables, x))
 apply_int8 = jax.jit(lambda x: quant_apply(qp, x))
-for name, fn in [("bf16", apply_bf16), ("int8", apply_int8)]:
+apply_int8s = jax.jit(lambda x: quant_apply(qp, x, act_scales=_scales))
+for name, fn in [("bf16", apply_bf16), ("int8", apply_int8),
+                 ("int8-static", apply_int8s)]:
     t0 = time.time()
     np.asarray(fn(planes)[0])
     compile_s = time.time() - t0
@@ -130,7 +150,11 @@ print(f"int8 vs bf16 search: mean TV {tv.mean():.4f} "
       f"argmax agreement {100 * agree:.1f}%", flush=True)
 
 # --- perf: full selfplay move ----------------------------------------------
-for name, ev in [("bf16", eval_bf16), ("int8", eval_int8)]:
+# AZTPU_PROBE_ARMS limits which evaluators get the expensive search
+# compile (each arm is its own XLA program, ~950s cold inlined).
+ALL_ARMS = {"bf16": eval_bf16, "int8": eval_int8, "int8-static": eval_int8s}
+ARMS = os.environ.get("AZTPU_PROBE_ARMS", "bf16,int8").split(",")
+for name, ev in [(a, ALL_ARMS[a]) for a in ARMS]:
     spec = spec_for(cfg.dirichlet_epsilon)
     cur, r2 = states, jax.random.PRNGKey(11)
     t0 = time.time()

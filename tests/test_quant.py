@@ -125,6 +125,26 @@ def test_scanned_and_inlined_layouts_quantize_identically():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_static_act_scales_track_dynamic():
+    """calibrate()'s static scales reproduce the dynamic-quant forward
+    closely on data from the calibration distribution."""
+    from alphazero_tpu.models.quant import calibrate
+
+    cfg, net, variables = _tiny()
+    qp = quantize_network(net, variables)
+    cal = [_planes(cfg, n=64, seed=s) for s in (10, 11)]
+    sc = calibrate(qp, cal)
+    assert len(sc) == 2 * cfg.num_blocks + 1
+
+    planes = _planes(cfg, n=64, seed=12)
+    pl_d, wl_d = quant_apply(qp, planes, dtype=jnp.float32)
+    pl_s, wl_s = quant_apply(qp, planes, dtype=jnp.float32, act_scales=sc)
+    pol_d = np.asarray(jax.nn.softmax(pl_d, -1))
+    pol_s = np.asarray(jax.nn.softmax(pl_s, -1))
+    tv = 0.5 * np.abs(pol_s - pol_d).sum(-1)
+    assert tv.mean() < 0.02, tv.mean()
+
+
 def test_quant_evaluator_drives_search():
     """make_quant_evaluator satisfies the search Evaluator contract and a
     16-sim search returns legal, normalized visit distributions."""
