@@ -145,6 +145,31 @@ def test_static_act_scales_track_dynamic():
     assert tv.mean() < 0.02, tv.mean()
 
 
+def test_quant_evaluator_composes_with_mesh():
+    """The int8 evaluator works inside the sharded self-play move and is
+    numerically invisible to sharding (same bit-identity contract as
+    tests/test_sharded_selfplay.py)."""
+    from alphazero_tpu.parallel.mesh import (
+        make_mesh, shard_batch, sharded_selfplay_move,
+    )
+    from alphazero_tpu.train.selfplay import selfplay_move
+
+    cfg, net, variables = _tiny()
+    eval_fn = make_quant_evaluator(net, variables)
+    spec = SearchSpec(num_simulations=8)
+    states = initial_state((16,))
+    rng = jax.random.PRNGKey(3)
+
+    single = selfplay_move(states, rng, eval_fn, spec,
+                           cfg.temperature_threshold)
+    mesh = make_mesh(jax.devices()[:8])
+    move_fn = sharded_selfplay_move(mesh, eval_fn, spec,
+                                    cfg.temperature_threshold)
+    sharded = move_fn(shard_batch(mesh, states), rng)
+    np.testing.assert_array_equal(np.asarray(single[3]),
+                                  np.asarray(sharded[3]))
+
+
 def test_quant_evaluator_drives_search():
     """make_quant_evaluator satisfies the search Evaluator contract and a
     16-sim search returns legal, normalized visit distributions."""
