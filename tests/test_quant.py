@@ -170,19 +170,22 @@ def test_quant_evaluator_composes_with_mesh():
                                   np.asarray(sharded[3]))
 
 
-def test_quant_evaluator_drives_search():
+@pytest.mark.parametrize("value_dtype", [jnp.float32, jnp.float16])
+def test_quant_evaluator_drives_search(value_dtype):
     """make_quant_evaluator satisfies the search Evaluator contract and a
-    16-sim search returns legal, normalized visit distributions."""
+    16-sim search returns legal, normalized visit distributions — with
+    both the f32 and the float16 tree (the two perf options compose)."""
     cfg, net, variables = _tiny()
     eval_fn = make_quant_evaluator(net, variables)
 
     states = initial_state((4,))
     spec = SearchSpec(num_simulations=16, c_puct=cfg.c_puct,
                       dirichlet_alpha=cfg.dirichlet_alpha,
-                      dirichlet_epsilon=0.0)
+                      dirichlet_epsilon=0.0, value_dtype=value_dtype)
     tree = search(states, eval_fn, spec, rng=jax.random.PRNGKey(0))
     v = np.asarray(root_child_visits(tree), np.float64)
     pi = v / v.sum(-1, keepdims=True)
     legal = np.asarray(legal_action_mask(states))
     assert (pi[~legal] == 0).all()
     np.testing.assert_allclose(pi.sum(-1), 1.0, rtol=1e-6)
+    assert v.sum(-1).max() == 16  # the 16-bit tree counts sims exactly
