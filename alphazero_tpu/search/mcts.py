@@ -101,13 +101,28 @@ class SearchSpec:
                 else self.num_simulations + 1)
 
 
+def _row_sublanes(A: int, vdt) -> int:
+    """Sublane count of the fused per-node row: ceil(4A/128), rounded up to
+    a whole 8-sublane tile for sub-32-bit dtypes. Mosaic packs 16-bit
+    sublanes two per 32-bit word and rejects DMA slices that do not span
+    whole (8, 128) tiles ("Slice shape along dimension 2 must be aligned to
+    tiling (8)"), so a float16 tree pads the 768-wide row to 1024 — still
+    2/3 the bytes of the f32 row."""
+    rs = -(-4 * A // 128)
+    if jnp.dtype(vdt).itemsize < 4:
+        rs = -(-rs // 8) * 8
+    return rs
+
+
 @struct.dataclass
 class Tree:
     """Batched search tree; B games, N = capacity node slots.
 
-    rows:        (B, N+1, 4A/128, 128) value_dtype fused per-node rows;
-                 flattening the trailing dims gives blocks
-                 [child ptr | prior | edge visit | edge vsum] of width A.
+    rows:        (B, N+1, RS, 128) value_dtype fused per-node rows
+                 (RS = _row_sublanes(A, dtype)); flattening the trailing
+                 dims gives blocks
+                 [child ptr | prior | edge visit | edge vsum] of width A
+                 (plus zero tail padding for 16-bit dtypes).
                  Child pointers use the ILLEGAL/UNALLOCATED sentinels; slot
                  N is a write-only trash row targeted by masked updates.
                  The trailing (r, 128) split keeps the Pallas-DMA'd slice
@@ -135,10 +150,12 @@ class Tree:
     node_count: jax.Array
     next_slot: jax.Array
     parents: jax.Array
+    # static: not recoverable from rows.shape once 16-bit rows are padded
+    n_actions: int = struct.field(pytree_node=False, default=192)
 
     @property
     def num_actions(self) -> int:
-        return self.rows.shape[-2] * self.rows.shape[-1] // 4
+        return self.n_actions
 
     def _flat_rows(self) -> jax.Array:
         B, M = self.rows.shape[:2]
@@ -175,12 +192,14 @@ def init_tree(root_states: env.EnvState, spec: SearchSpec) -> Tree:
                 f"exactly only up to {max_exact}; capacity {N + 1} / "
                 f"{spec.num_simulations} sims would corrupt visit counts "
                 f"and child pointers")
+    RS = _row_sublanes(A, vdt)
     rows = jnp.concatenate(
         [jnp.full((B, N + 1, A), ILLEGAL, vdt),
-         jnp.zeros((B, N + 1, 3 * A), vdt)], axis=2
-    ).reshape(B, N + 1, 4 * A // 128, 128)
+         jnp.zeros((B, N + 1, RS * 128 - A), vdt)], axis=2
+    ).reshape(B, N + 1, RS, 128)
     return Tree(
         rows=rows,
+        n_actions=A,
         root_state=root_states,
         root_visit=jnp.zeros((B,), jnp.int32),
         root_vsum=jnp.zeros((B,), vdt),
@@ -238,7 +257,7 @@ def _descend(rows: jax.Array, root_state: env.EnvState,
         child = row[:, :A]
         prior = row[:, A:2 * A]
         ev = row[:, 2 * A:3 * A]
-        evs = row[:, 3 * A:]
+        evs = row[:, 3 * A:4 * A]
 
         legal = child > (ILLEGAL + 0.5)
         live = jnp.any(legal, axis=-1) & ~stopped
@@ -364,9 +383,10 @@ def _simulate_once(tree: Tree, eval_fn: Evaluator, spec: SearchSpec,
         # batch-uniform next_slot hold stale rows from the compaction
         # gather — so expansion must clear the visit/vsum blocks too
         # (without reuse every slot starts zeroed by init_tree).
+        RS = _row_sublanes(A, vdt)
         upd_rows = jnp.concatenate(
-            [child_row, prior_row, jnp.zeros((B, 2 * A), vdt)],
-            axis=-1).reshape(B, 1, 4 * A // 128, 128)
+            [child_row, prior_row, jnp.zeros((B, RS * 128 - 2 * A), vdt)],
+            axis=-1).reshape(B, 1, RS, 128)
     else:
         upd_rows = jnp.concatenate([child_row, prior_row], axis=-1).reshape(
             B, 1, 2 * A // 128, 128)
@@ -527,7 +547,8 @@ def advance_root(
     onehot = (jnp.arange(A)[None, :] == actions[:, None])
     child_a = jnp.sum(jnp.where(onehot, root_flat[:, :A], 0), axis=-1)
     ev_a = jnp.sum(jnp.where(onehot, root_flat[:, 2 * A:3 * A], 0), axis=-1)
-    evs_a = jnp.sum(jnp.where(onehot, root_flat[:, 3 * A:], 0), axis=-1)
+    evs_a = jnp.sum(jnp.where(onehot, root_flat[:, 3 * A:4 * A], 0),
+                    axis=-1)
 
     fresh = ~(child_a > 0.5)              # no allocated child to reuse
     if force_fresh is not None:
@@ -563,7 +584,8 @@ def advance_root(
 
     # fresh games restart with an empty, unexpanded root row
     empty_root = jnp.concatenate(
-        [jnp.full((B, A), ILLEGAL, vdt), jnp.zeros((B, 3 * A), vdt)], -1)
+        [jnp.full((B, A), ILLEGAL, vdt),
+         jnp.zeros((B, tree.rows.shape[2] * 128 - A), vdt)], -1)
     row0 = jnp.where(fresh[:, None],
                      empty_root,
                      jnp.concatenate([new_ptr[:, 0], new_flat[:, 0, A:]],
@@ -582,6 +604,7 @@ def advance_root(
     next_slot = jnp.maximum(jnp.max(count_eff), 1).astype(jnp.int32)
     compacted = Tree(
         rows=new_rows,
+        n_actions=A,
         root_state=new_root_state,
         root_visit=jnp.where(fresh, 0, ev_a.astype(jnp.int32)),
         root_vsum=jnp.where(fresh, jnp.zeros((), vdt), evs_a.astype(vdt)),
