@@ -161,15 +161,19 @@ def _commit_edges_tpu(rows, node, act, upd, offsets):
 
             in_dma(b).wait()
             a = act_ref[b]
-            add = jnp.zeros((RS, L), dtype)
+            # Mask arithmetic stays f32 (upd is staged f32 in SMEM — 16-bit
+            # scalars are not SMEM types — and Mosaic cannot relayout the
+            # unpacked int32 iota masks against packed 16-bit vregs); the
+            # row round-trips through f32, exact for counts the dtype guard
+            # in init_tree already enforces.
+            add = jnp.zeros((RS, L), jnp.float32)
             for k, off in enumerate(offsets):
                 p = off + a
                 hit = (iota_row == p // L) & (iota_col == p % L)
-                # upd is staged f32 in SMEM (16-bit scalars are not SMEM
-                # types); cast to the row dtype at apply time
-                add = add + jnp.where(hit, upd_ref[b, k].astype(dtype),
-                                      jnp.zeros((), dtype))
-            out_scratch[slot] = in_scratch[slot] + add
+                add = add + jnp.where(hit, upd_ref[b, k],
+                                      jnp.zeros((), jnp.float32))
+            out_scratch[slot] = (in_scratch[slot].astype(jnp.float32)
+                                 + add).astype(dtype)
             out_dma(b).start()
 
             # in_scratch[slot] is free once consumed above.
