@@ -59,12 +59,13 @@ class Config:
     # --- Precision ---
     inference_dtype: str = "bfloat16"  # activations in search; params stay f32
     train_dtype: str = "float32"
-    # Dtype of the fused Tree.rows (visits/values/priors/pointers). The tree
-    # is the dominant non-param HBM consumer and its DMA traffic the tree-op
-    # cost floor, so 16-bit halves the bytes. "float16" is exact for
-    # integers <= 2048 (safe for <= 2047-slot trees); "bfloat16" corrupts
-    # counters past 256 visits and must not be used at production sim
-    # counts. Measured on chip: scripts/probe_value_dtype.py.
+    # Dtype of the fused Tree.rows (visits/values/priors/pointers).
+    # CLOSED on-chip question (docs/value-dtype-closure.md): 16-bit trees
+    # do NOT pay on TPU — Mosaic rejects float16 kernel operands outright,
+    # and bfloat16 (which compiles) gained +0.6% while corrupting counters
+    # past 256 visits. "float16" stays only for CPU numerics tests (exact
+    # for integers <= 2048, i.e. <= 2047-slot trees) and raises at
+    # init_tree on the TPU backend.
     value_dtype: str = "float32"
 
     # --- Compile/runtime trade (docs/compile-latency.md) ---

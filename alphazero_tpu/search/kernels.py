@@ -107,13 +107,19 @@ def fetch_rows(rows: jax.Array, node: jax.Array) -> jax.Array:
 # -----------------------------------------------------------------------------
 
 def _commit_edges_xla(rows, node, act, upd, offsets):
+    # Numerics mirror the TPU kernel exactly: the touched row accumulates
+    # all K updates in float32 and rounds back to rows.dtype ONCE, so the
+    # CPU tests (float64-oracle parity) pin the shipped TPU semantics even
+    # for sub-32-bit trees.
     L = rows.shape[-1]
+    dtype = rows.dtype
 
     def one(r, n, a, u):
+        row = r[n].astype(jnp.float32)
         for k, off in enumerate(offsets):
             p = off + a
-            r = r.at[n, p // L, p % L].add(u[k])
-        return r
+            row = row.at[p // L, p % L].add(u[k])
+        return r.at[n].set(row.astype(dtype))
 
     return jax.vmap(one)(rows, node, act, upd)
 
@@ -222,7 +228,9 @@ def commit_edges(rows: jax.Array, node: jax.Array, act: jax.Array,
                  upd: jax.Array, offsets: tuple) -> jax.Array:
     """In-place per-game edge update on the fused tree array.
 
-    rows: (B, M, RS, 128); node/act: (B,) int32; upd: (B, K) rows.dtype;
+    rows: (B, M, RS, 128); node/act: (B,) int32; upd: (B, K) is cast to
+    float32 (16-bit scalars are not SMEM types on TPU) and accumulated in
+    f32 before rounding back to rows.dtype — identically on both paths;
     offsets: K static intra-row flat offsets. Row ``rows[b, node[b]]`` gets
     ``upd[b, k]`` added at flat position ``offsets[k] + act[b]``. Rows
     touched by different games never collide (the leading dim separates
@@ -230,5 +238,5 @@ def commit_edges(rows: jax.Array, node: jax.Array, act: jax.Array,
     if _tpu():
         return _commit_edges_tpu(rows, node, act,
                                  upd.astype(jnp.float32), tuple(offsets))
-    return _commit_edges_xla(rows, node, act, upd.astype(rows.dtype),
+    return _commit_edges_xla(rows, node, act, upd.astype(jnp.float32),
                              tuple(offsets))

@@ -150,8 +150,10 @@ class Tree:
     node_count: jax.Array
     next_slot: jax.Array
     parents: jax.Array
-    # static: not recoverable from rows.shape once 16-bit rows are padded
-    n_actions: int = struct.field(pytree_node=False, default=192)
+    # static: not recoverable from rows.shape once 16-bit rows are padded,
+    # so it is REQUIRED — omitting it must be a TypeError, never a silent
+    # wrong action count
+    n_actions: int = struct.field(pytree_node=False)
 
     @property
     def num_actions(self) -> int:
@@ -192,6 +194,19 @@ def init_tree(root_states: env.EnvState, spec: SearchSpec) -> Tree:
                 f"exactly only up to {max_exact}; capacity {N + 1} / "
                 f"{spec.num_simulations} sims would corrupt visit counts "
                 f"and child pointers")
+        if jnp.dtype(vdt) == jnp.float16 and jax.default_backend() == "tpu":
+            # Measured dead end, not a missing feature: Mosaic rejects f16
+            # pallas_call operands outright ("Only arguments with float8...,
+            # bfloat16 or 32-bit element types are supported"), and bf16 —
+            # which does compile — gains only +0.6% sims/s because the tree
+            # ops are latency-, not bandwidth-bound at these row sizes.
+            # Full evidence: docs/value-dtype-closure.md.
+            raise ValueError(
+                "value_dtype=float16 cannot compile on the TPU backend: "
+                "Mosaic does not support float16 kernel operands (see "
+                "docs/value-dtype-closure.md for the on-chip evidence and "
+                "why 16-bit trees are a measured dead end). float16 remains "
+                "available on CPU for numerics tests only.")
     RS = _row_sublanes(A, vdt)
     rows = jnp.concatenate(
         [jnp.full((B, N + 1, A), ILLEGAL, vdt),

@@ -221,8 +221,11 @@ def selfplay_games(
     stats = {
         "games": int(finished.sum()),                   # completed games
         "moves": int(emit.sum()),                       # emitted moves
-        # compute performed: every lane runs every lockstep move
-        "simulations": moves_played * num_games * spec.num_simulations,
+        # simulations that advanced a LIVE game. Frozen done-lanes still
+        # dispatch masked no-op sims in lockstep, but counting those would
+        # flatter sims/s vs the continuous path (where every lane is
+        # always live) — so only active-lane sims count in both paths.
+        "simulations": int(active_all.sum()) * spec.num_simulations,
         "examples": len(examples),
         "moves_played": moves_played,
     }

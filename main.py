@@ -34,9 +34,10 @@ def add_common(p: argparse.ArgumentParser) -> None:
                    help="initialize the JAX multi-host runtime")
     p.add_argument("--value-dtype", default=None,
                    choices=["float32", "float16"],
-                   help="dtype of the search tree rows (float16 halves "
-                        "tree HBM/DMA bytes; exact for <=2047-slot trees; "
-                        "see scripts/probe_value_dtype.py)")
+                   help="dtype of the search tree rows. float16 is "
+                        "CPU-only (numerics tests): Mosaic cannot compile "
+                        "f16 kernel operands and 16-bit trees measured no "
+                        "win on chip — see docs/value-dtype-closure.md")
     p.add_argument("--seed", type=int, default=0)
 
 

@@ -161,6 +161,18 @@ check("post_resume_iteration", tr2.iteration == 3, tr2.iteration)
 assert_same_across_hosts("params_equal_after_post_resume_iter",
                          params_digest(tr2.state))
 
+# --- the post-save barrier's actual contract -------------------------------
+# run_iteration ends with a coordinator-only save followed by a barrier
+# (trainer.py), so a resume() issued IMMEDIATELY afterwards — with no extra
+# sync, on the NON-coordinator host in particular — must already see the
+# complete iteration_3 checkpoint, never a partial or missing one.
+tr3 = Trainer(cfg, seed=7)   # fresh seed: params must come from disk
+it3 = tr3.resume()
+check("immediate_resume_after_save_iteration", it3 == 3, it3)
+check("immediate_resume_after_save_params",
+      params_digest(tr3.state) == params_digest(tr2.state),
+      PID)
+
 ok = all(c["ok"] for c in result["checks"].values())
 result["ok"] = ok
 with open(os.path.join(WORKDIR, f"result_p{PID}.json"), "w") as f:

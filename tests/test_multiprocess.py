@@ -24,7 +24,10 @@ import pytest
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(_HERE)
-_EXPECTED_CHECKS = 15
+# Exact count of checks each worker records on a passing run (the whole
+# point of this harness is that nothing multi-host regresses SILENTLY, so
+# a vanished check must fail the test, not slip under a >= bound).
+_EXPECTED_CHECKS = 19
 
 
 def _free_port() -> int:
@@ -71,4 +74,4 @@ def test_two_process_trainer_lockstep(tmp_path):
         assert result["ok"], result
         failed = {k: v for k, v in result["checks"].items() if not v["ok"]}
         assert not failed, failed
-        assert len(result["checks"]) >= _EXPECTED_CHECKS, result["checks"]
+        assert len(result["checks"]) == _EXPECTED_CHECKS, result["checks"]
