@@ -13,8 +13,10 @@ Env knobs: AZTPU_BENCH_GAMES (512), AZTPU_BENCH_SIMS (800),
 AZTPU_BENCH_REPS (3), AZTPU_BENCH_MODE=move|selfplay — ``selfplay`` plays
 whole games to completion through the full actor loop and reports
 games/hour + env-steps/s on stderr alongside the sims/s metric.
-AZTPU_BENCH_QUANT=1 swaps in the int8 evaluator (models/quant.py) for
-A/B runs; the default stays bf16.
+AZTPU_BENCH_QUANT=dynamic|static swaps in the int8 evaluator
+(models/quant.py; "static" is the calibrated-scales flavor measured +56%
+on chip, docs/quant-int8.md) for A/B runs; the default stays bf16 until
+the int8 strength gate passes on a trained checkpoint.
 """
 
 import functools
@@ -55,11 +57,24 @@ def main():
     cfg = Config(num_simulations=num_sims, value_dtype=value_dtype)
     net, variables = init_network(cfg, jax.random.PRNGKey(0),
                                   dtype=jnp.bfloat16)
-    if os.environ.get("AZTPU_BENCH_QUANT", "0") == "1":
+    quant = os.environ.get("AZTPU_BENCH_QUANT", "0")
+    if quant in ("1", "dynamic"):
         from alphazero_tpu.models.quant import make_quant_evaluator
 
-        log("evaluator: int8 (models/quant.py)")
+        log("evaluator: int8 dynamic-amax (models/quant.py)")
         eval_fn = make_quant_evaluator(net, variables)
+    elif quant == "static":
+        from alphazero_tpu.models.quant import (
+            calibrate,
+            make_quant_evaluator,
+            quantize_network,
+        )
+
+        log("evaluator: int8 static-calibrated (models/quant.py)")
+        cal = [jnp.zeros((256, 3, 8, 8), jnp.float32).at[:, 2].set(1.0)]
+        eval_fn = make_quant_evaluator(
+            net, variables,
+            act_scales=calibrate(quantize_network(net, variables), cal))
     else:
         eval_fn = make_net_evaluator(net, variables, dtype=jnp.float32)
     spec = SearchSpec(

@@ -58,7 +58,33 @@ else:
     print("checkpoint not found -> random init (smoke only)", flush=True)
 
 eval_bf16 = make_net_evaluator(net, variables, dtype=jnp.float32)
-eval_int8 = make_quant_evaluator(net, variables)
+
+# The flavor that ships is int8-STATIC (docs/quant-int8.md: +9% over
+# dynamic on chip, accuracy-equal), so the strength gate defaults to it;
+# AZTPU_QUANT_FLAVOR=dynamic selects the per-layer-amax variant.
+FLAVOR = os.environ.get("AZTPU_QUANT_FLAVOR", "static")
+if FLAVOR == "static":
+    from alphazero_tpu.models.quant import calibrate, quantize_network
+
+    _npz = os.path.join(os.path.dirname(CKPT), "training_data.npz")
+    if os.path.isdir(CKPT) and os.path.exists(_npz):
+        _d = np.load(_npz, mmap_mode="r")
+        _ci = np.sort(np.random.RandomState(42).choice(
+            len(_d["states"]), 512, replace=False))
+        _cal = [jnp.asarray(np.asarray(_d["states"][_ci][i * 256:
+                                                         (i + 1) * 256]),
+                            jnp.float32) for i in range(2)]
+        print(f"calibration: 512 replay positions from {_npz}", flush=True)
+    else:
+        _cal = [jnp.zeros((256, 3, 8, 8), jnp.float32).at[:, 2].set(1.0)]
+        print("calibration: opening positions only (no replay npz)",
+              flush=True)
+    eval_int8 = make_quant_evaluator(
+        net, variables, act_scales=calibrate(quantize_network(
+            net, variables), _cal))
+else:
+    eval_int8 = make_quant_evaluator(net, variables)
+print(f"quant flavor: int8-{FLAVOR}", flush=True)
 
 
 def pair_eval_fn(planes, a_to_move):
@@ -76,6 +102,6 @@ wins_q, wins_f = play_paired_matches(
     num_simulations=sims, pair_eval_fn=pair_eval_fn)
 n = 2 * PAIRS
 draws = n - wins_q - wins_f
-print(f"int8 {wins_q} - {wins_f} bf16 over {n} games at {sims} sims "
-      f"({draws} unfinished); int8 score "
+print(f"int8-{FLAVOR} {wins_q} - {wins_f} bf16 over {n} games at {sims} "
+      f"sims ({draws} unfinished); int8 score "
       f"{100 * (wins_q + 0.5 * draws) / n:.1f}%", flush=True)

@@ -38,10 +38,32 @@ from alphazero_tpu.search import SearchSpec, make_net_evaluator
 from alphazero_tpu.train.selfplay import selfplay_move
 
 
-def warm_move(cfg: Config, games: int, sims: int, tag: str) -> None:
+def _bench_evaluator(net, variables, quant: str):
+    """Same evaluator selection as bench.py's AZTPU_BENCH_QUANT knob, so
+    the warmed program is the one the driver's bench run will load."""
+    if quant in ("1", "dynamic"):
+        from alphazero_tpu.models.quant import make_quant_evaluator
+
+        return make_quant_evaluator(net, variables)
+    if quant == "static":
+        from alphazero_tpu.models.quant import (
+            calibrate,
+            make_quant_evaluator,
+            quantize_network,
+        )
+
+        cal = [jnp.zeros((256, 3, 8, 8), jnp.float32).at[:, 2].set(1.0)]
+        return make_quant_evaluator(
+            net, variables,
+            act_scales=calibrate(quantize_network(net, variables), cal))
+    return make_net_evaluator(net, variables, dtype=jnp.float32)
+
+
+def warm_move(cfg: Config, games: int, sims: int, tag: str,
+              quant: str = "0") -> None:
     net, variables = init_network(cfg, jax.random.PRNGKey(0),
                                   dtype=jnp.bfloat16)
-    eval_fn = make_net_evaluator(net, variables, dtype=jnp.float32)
+    eval_fn = _bench_evaluator(net, variables, quant)
     spec = SearchSpec(
         num_simulations=sims,
         c_puct=cfg.c_puct,
@@ -65,7 +87,8 @@ def main() -> None:
     vdt = os.environ.get("AZTPU_BENCH_VALUE_DTYPE", "float32")
     cfg = Config(num_simulations=sims, value_dtype=vdt)
     print(f"device: {jax.devices()[0]}", flush=True)
-    warm_move(cfg, games, sims, "bench move")
+    quant = os.environ.get("AZTPU_BENCH_QUANT", "0")
+    warm_move(cfg, games, sims, f"bench move (quant={quant})", quant=quant)
 
     if os.environ.get("AZTPU_WARM_TRAIN", "0") == "1":
         tcfg = Config(value_dtype=vdt)
