@@ -68,6 +68,15 @@ class Config:
     # init_tree on the TPU backend.
     value_dtype: str = "float32"
 
+    # --- Learn-phase data path ---
+    # True (default): single-host learn() keeps the replay window resident
+    # on device (re-uploaded once per buffer mutation) and runs each epoch
+    # as ONE lax.scan program (learner.train_epoch) — removing the per-step
+    # ~4 MB batch upload + dispatch latency that dominated learn wall-clock
+    # on the tunneled TPU backend. False, or any multi-device/multi-host
+    # run: the per-step host loop (train_step / sharded_train_step).
+    device_replay: bool = True
+
     # --- Compile/runtime trade (docs/compile-latency.md) ---
     # True: residual tower as one nn.scan block -> 14x faster cold compile,
     # -5.8% search throughput. False (default): max throughput.

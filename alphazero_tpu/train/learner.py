@@ -106,8 +106,7 @@ def loss_fn(params, batch_stats, net: AlphaZeroNet, states, target_pi,
     return loss, (loss_pi, loss_wl, mutated["batch_stats"])
 
 
-@functools.partial(jax.jit, static_argnames=("net", "cfg"), donate_argnums=0)
-def train_step(
+def _train_step_impl(
     state: TrainState,
     batch: Tuple[jax.Array, jax.Array, jax.Array],
     mirror_bits: jax.Array,
@@ -140,3 +139,42 @@ def train_step(
                "lr": lr}
     return state.replace(params=new_params, batch_stats=new_stats,
                          opt_state=new_opt_state), metrics
+
+
+train_step = functools.partial(
+    jax.jit, static_argnames=("net", "cfg"), donate_argnums=0
+)(_train_step_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("net", "cfg"), donate_argnums=0)
+def train_epoch(
+    state: TrainState,
+    buf: Tuple[jax.Array, jax.Array, jax.Array],
+    base_idx: jax.Array,
+    mirror: jax.Array,
+    net: AlphaZeroNet,
+    cfg: Config,
+) -> Tuple[TrainState, Dict[str, jax.Array]]:
+    """A whole learn epoch as ONE compiled program.
+
+    ``buf`` is the device-resident replay window ((N, 3, 8, 8) uint8 planes,
+    (N, A) f32 policies, (N, 2) f32 WL); ``base_idx``/``mirror`` are the
+    (steps, B) epoch_batches outputs. Each scan step gathers its minibatch
+    on device and runs the exact train_step body, so the host stops paying
+    per-step batch uploads (~4 MB/step) and per-step dispatch latency —
+    the two costs that dominated learn() wall-clock on the tunneled TPU
+    backend (measured ~150-170 ms/step end-to-end vs ~30 ms compute).
+    Semantics identical to looping train_step over buffer.get(bi).
+
+    Returns the final state and metrics stacked over steps ((steps,) per
+    key). Recompiles when the step count changes (buffer growth); once the
+    window is full the shape is constant.
+    """
+    states_u8, policies, wls = buf
+
+    def body(st, xs):
+        bi, mi = xs
+        batch = (states_u8[bi].astype(jnp.float32), policies[bi], wls[bi])
+        return _train_step_impl(st, batch, mi, net, cfg)
+
+    return jax.lax.scan(body, state, (base_idx, mirror))

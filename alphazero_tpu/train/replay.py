@@ -29,6 +29,9 @@ class ReplayBuffer:
         self.wls = np.zeros((capacity, 2), np.float32)
         self.size = 0
         self.cursor = 0
+        # bumped on every mutation so consumers holding a device-resident
+        # mirror (trainer.learn's scan path) know when to re-upload
+        self.version = 0
 
     def __len__(self) -> int:
         return self.size
@@ -41,6 +44,8 @@ class ReplayBuffer:
             self.wls[i] = wl
             self.cursor = (i + 1) % self.capacity
             self.size = min(self.size + 1, self.capacity)
+        if examples:
+            self.version += 1
 
     def add_arrays(self, states: np.ndarray, policies: np.ndarray,
                    wls: np.ndarray) -> None:
@@ -55,6 +60,7 @@ class ReplayBuffer:
         self.wls[idx] = wls
         self.cursor = int((self.cursor + n) % self.capacity)
         self.size = min(self.size + n, self.capacity)
+        self.version += 1
 
     def sample(self, rng: np.random.Generator, batch_size: int
                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

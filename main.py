@@ -38,6 +38,10 @@ def add_common(p: argparse.ArgumentParser) -> None:
                         "CPU-only (numerics tests): Mosaic cannot compile "
                         "f16 kernel operands and 16-bit trees measured no "
                         "win on chip — see docs/value-dtype-closure.md")
+    p.add_argument("--host-replay", action="store_true",
+                   help="disable the device-resident learn path "
+                        "(learner.train_epoch) and stream batches from "
+                        "host per step (config.py: device_replay)")
     p.add_argument("--seed", type=int, default=0)
 
 
@@ -63,6 +67,8 @@ def build_config(args):
         over["scan_blocks"] = True
     if args.value_dtype is not None:
         over["value_dtype"] = args.value_dtype
+    if args.host_replay:
+        over["device_replay"] = False
     return cfg.replace(**over) if over else cfg
 
 
