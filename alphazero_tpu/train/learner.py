@@ -146,6 +146,22 @@ train_step = functools.partial(
 )(_train_step_impl)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def update_rows(states, policies, wls, s_upd, p_upd, w_upd, start):
+    """In-place row-span write into the device-resident replay window.
+
+    The update block has a FIXED row count (trainer uses one block size),
+    so this compiles once; ``start`` is a dynamic scalar. Blocks may
+    overlap rows already holding current data — the host buffer is the
+    source of truth and overlapping rewrites are identical values."""
+    def upd(buf, u):
+        zeros = (jnp.zeros((), jnp.int32),) * (buf.ndim - 1)
+        return jax.lax.dynamic_update_slice(buf, u.astype(buf.dtype),
+                                            (start,) + zeros)
+
+    return upd(states, s_upd), upd(policies, p_upd), upd(wls, w_upd)
+
+
 @functools.partial(jax.jit, static_argnames=("net", "cfg"), donate_argnums=0)
 def train_epoch(
     state: TrainState,

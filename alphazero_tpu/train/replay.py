@@ -32,9 +32,33 @@ class ReplayBuffer:
         # bumped on every mutation so consumers holding a device-resident
         # mirror (trainer.learn's scan path) know when to re-upload
         self.version = 0
+        # row spans written since the last consume_writes() — the
+        # device-mirror sync protocol. None = consumer must resync fully.
+        self._pending: list | None = None
 
     def __len__(self) -> int:
         return self.size
+
+    def _note_write(self, start: int, n: int) -> None:
+        if self._pending is None:
+            return
+        if n >= self.capacity or len(self._pending) > 64:
+            self._pending = None   # cheaper to resync the whole window
+            return
+        end = start + n
+        self._pending.append((start, min(end, self.capacity) - start))
+        if end > self.capacity:   # ring wrap: split at the boundary
+            self._pending.append((0, end - self.capacity))
+
+    def consume_writes(self) -> list | None:
+        """Row spans (start, n) mutated since the last call, for consumers
+        keeping a device-resident mirror. Returns None when the consumer
+        must re-upload the whole window (first call after construction, or
+        accumulated writes cover it anyway); thereafter returns [] when
+        nothing changed."""
+        spans = self._pending
+        self._pending = []
+        return spans
 
     def add(self, examples: Sequence[Example]) -> None:
         for s, p, wl in examples:
@@ -42,6 +66,7 @@ class ReplayBuffer:
             self.states[i] = s.astype(np.uint8)
             self.policies[i] = p
             self.wls[i] = wl
+            self._note_write(i, 1)
             self.cursor = (i + 1) % self.capacity
             self.size = min(self.size + 1, self.capacity)
         if examples:
@@ -58,6 +83,7 @@ class ReplayBuffer:
         self.states[idx] = states.astype(np.uint8)
         self.policies[idx] = policies
         self.wls[idx] = wls
+        self._note_write(self.cursor, n)
         self.cursor = int((self.cursor + n) % self.capacity)
         self.size = min(self.size + n, self.capacity)
         self.version += 1

@@ -195,20 +195,44 @@ class Trainer:
         return shard_batch(self.mesh,
                            tuple(jnp.asarray(x) for x in arrays))
 
+    # fixed upload-block row count: update_rows compiles once for this
+    # shape; ~8k rows x ~1 KB/row = ~8 MB per block transfer
+    _REPLAY_BLOCK = 8192
+
     def _device_replay(self):
-        """Device-resident copy of the replay window, re-uploaded only when
-        the host buffer changed (ReplayBuffer.version). One ~0.3 GB upload
-        per iteration replaces ~2.3 GB of per-step batch transfers at a
-        full 300k window."""
-        ver = (self.buffer.version, len(self.buffer))
-        if getattr(self, "_dev_replay_ver", None) != ver:
-            n = len(self.buffer)
+        """Device-resident mirror of the replay window (full capacity
+        shape; rows >= len(buffer) are never indexed). Synced from the
+        host ring via ReplayBuffer.consume_writes(): the whole window
+        uploads once (~0.3 GB at 300k), after which only newly-written row
+        spans transfer (~70 MB/iteration) in fixed-size blocks — the host
+        buffer stays the single source of truth."""
+        from alphazero_tpu.train.learner import update_rows
+
+        buf = self.buffer
+        spans = buf.consume_writes()
+        arrays = getattr(self, "_dev_replay_arrays", None)
+        if arrays is None or spans is None:
             self._dev_replay_arrays = (
-                jax.device_put(self.buffer.states[:n]),
-                jax.device_put(self.buffer.policies[:n]),
-                jax.device_put(self.buffer.wls[:n]),
+                jax.device_put(buf.states),
+                jax.device_put(buf.policies),
+                jax.device_put(buf.wls),
             )
-            self._dev_replay_ver = ver
+            return self._dev_replay_arrays
+        B = min(self._REPLAY_BLOCK, buf.capacity)
+        s_d, p_d, w_d = arrays
+        for start, n in spans:
+            # cover [start, start+n) with B-row blocks; the last block
+            # shifts back (overlapping rows that already hold current
+            # values — identical rewrites) so every block has B rows
+            starts = [start + i * B for i in range(n // B)]
+            if n % B:
+                starts.append(max(0, start + n - B))
+            for bs in starts:
+                sl = slice(bs, bs + B)
+                s_d, p_d, w_d = update_rows(
+                    s_d, p_d, w_d, buf.states[sl], buf.policies[sl],
+                    buf.wls[sl], np.int32(bs))
+        self._dev_replay_arrays = (s_d, p_d, w_d)
         return self._dev_replay_arrays
 
     def learn(self, epochs: Optional[int] = None,

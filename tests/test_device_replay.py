@@ -59,21 +59,37 @@ def test_device_epoch_matches_host_loop(tmp_path, monkeypatch):
         np.asarray(s_host.learn_calls))
 
 
-def test_device_replay_reuploads_on_buffer_change(tmp_path):
+def test_device_replay_incremental_sync(tmp_path):
     cfg = tiny_config(checkpoint_dir=str(tmp_path / "c"),
                       num_blocks=1, num_filters=8, batch_size=16,
                       device_replay=True)
     tr = Trainer(cfg, seed=0)
     _fill(tr, n=32, seed=1)
     first = tr._device_replay()
+    assert first[0].shape[0] == tr.buffer.capacity  # full-window mirror
     again = tr._device_replay()
-    assert first[0] is again[0]  # cached: no re-upload without mutation
+    assert first[0] is again[0]  # cached: no transfer without mutation
     _fill(tr, n=16, seed=2)
     refreshed = tr._device_replay()
-    assert refreshed[0] is not first[0]
-    assert refreshed[0].shape[0] == 48
-    np.testing.assert_array_equal(np.asarray(refreshed[0]),
-                                  tr.buffer.states[:48])
+    assert refreshed[0] is not first[0]  # incremental update applied
+    for d, h in zip(refreshed, (tr.buffer.states, tr.buffer.policies,
+                                tr.buffer.wls)):
+        np.testing.assert_array_equal(np.asarray(d)[:48], h[:48])
+
+
+def test_device_replay_ring_wrap(tmp_path):
+    cfg = tiny_config(checkpoint_dir=str(tmp_path / "c"),
+                      num_blocks=1, num_filters=8, batch_size=16,
+                      buffer_size=64, device_replay=True)
+    tr = Trainer(cfg, seed=0)
+    _fill(tr, n=48, seed=1)
+    tr._device_replay()
+    _fill(tr, n=48, seed=2)   # wraps: rows 48..63 then 0..31
+    mirror = tr._device_replay()
+    for d, h in zip(mirror, (tr.buffer.states, tr.buffer.policies,
+                             tr.buffer.wls)):
+        np.testing.assert_array_equal(np.asarray(d), h)
+    assert len(tr.buffer) == 64
 
 
 def test_device_epoch_loss_decreases(tmp_path, monkeypatch):
