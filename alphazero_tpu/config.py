@@ -68,6 +68,16 @@ class Config:
     # init_tree on the TPU backend.
     value_dtype: str = "float32"
 
+    # --- Self-play evaluator quantization (docs/quant-int8.md) ---
+    # "off" (default): bf16 inference (inference_dtype). "static": int8
+    # tower with activation scales calibrated per iteration on replay
+    # samples (measured +56% sims/s on the v5e, the s8xs8->s32 MXU rate);
+    # falls back to dynamic amax while the buffer is empty. "dynamic":
+    # per-batch amax scales, no calibration. Training math is untouched —
+    # this only changes the SELF-PLAY evaluator; adopt only with a passed
+    # strength gate (scripts/eval_quant_match.py).
+    selfplay_quant: str = "off"
+
     # --- Learn-phase data path ---
     # True (default): single-host learn() keeps the replay window resident
     # on device (re-uploaded once per buffer mutation) and runs each epoch

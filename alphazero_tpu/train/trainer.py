@@ -166,9 +166,32 @@ class Trainer:
             return self.net
         return self.net.clone(dtype=dtype)
 
+    def _selfplay_evaluator(self):
+        """The search evaluator for self-play: bf16 (default) or the int8
+        tower (cfg.selfplay_quant, docs/quant-int8.md). Static scales are
+        recalibrated each call on current replay positions — the closure's
+        arrays are hoisted to runtime args by jit, so per-iteration scale
+        changes don't invalidate the persistent compile cache."""
+        if self.cfg.selfplay_quant == "off":
+            return make_net_evaluator(self._inference_net(),
+                                      self._variables())
+        from alphazero_tpu.models.quant import (
+            calibrate, make_quant_evaluator, quantize_network,
+        )
+
+        net, variables = self._inference_net(), self._variables()
+        act_scales = None
+        if self.cfg.selfplay_quant == "static" and len(self.buffer) > 0:
+            n = min(len(self.buffer), 4096)
+            idx = self.np_rng.integers(0, len(self.buffer), size=n)
+            planes = self.buffer.states[idx].astype(np.float32)
+            batches = [jnp.asarray(planes[i:i + 1024])
+                       for i in range(0, n, 1024)]
+            act_scales = calibrate(quantize_network(net, variables), batches)
+        return make_quant_evaluator(net, variables, act_scales=act_scales)
+
     def execute_selfplay(self, num_games: Optional[int] = None):
-        eval_fn = make_net_evaluator(self._inference_net(),
-                                     self._variables())
+        eval_fn = self._selfplay_evaluator()
         self.rng, k = jax.random.split(self.rng)
         play = (selfplay_games_continuous if self.cfg.continuous_selfplay
                 else selfplay_games)

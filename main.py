@@ -38,6 +38,13 @@ def add_common(p: argparse.ArgumentParser) -> None:
                         "CPU-only (numerics tests): Mosaic cannot compile "
                         "f16 kernel operands and 16-bit trees measured no "
                         "win on chip — see docs/value-dtype-closure.md")
+    p.add_argument("--selfplay-quant", default=None,
+                   choices=["off", "dynamic", "static"],
+                   help="int8-quantize the SELF-PLAY evaluator (static = "
+                        "calibrated activation scales, measured +56%% "
+                        "sims/s on chip — docs/quant-int8.md). Training "
+                        "math is unchanged; adopt only with a passed "
+                        "strength gate (scripts/eval_quant_match.py)")
     p.add_argument("--host-replay", action="store_true",
                    help="disable the device-resident learn path "
                         "(learner.train_epoch) and stream batches from "
@@ -69,6 +76,8 @@ def build_config(args):
         over["value_dtype"] = args.value_dtype
     if args.host_replay:
         over["device_replay"] = False
+    if getattr(args, "selfplay_quant", None) is not None:
+        over["selfplay_quant"] = args.selfplay_quant
     return cfg.replace(**over) if over else cfg
 
 

@@ -283,3 +283,33 @@ class TestShardedEquivalence:
         assert not bool(new_states.done[0])
         # lane 1 just advanced normally
         assert int(new_states.move_count[1]) == 1
+
+
+class TestSelfplayQuant:
+    """cfg.selfplay_quant swaps the SELF-PLAY evaluator for the int8 tower
+    (models/quant.py); training math is untouched. These pin that a full
+    iteration runs end-to-end under both flavors and that static falls
+    back to dynamic scales while the buffer is empty."""
+
+    @pytest.mark.parametrize("flavor", ["dynamic", "static"])
+    def test_full_iteration_runs(self, tmp_path, flavor):
+        tr = make_tiny_trainer(tmp_path, selfplay_quant=flavor)
+        metrics = tr.run_iteration()
+        assert metrics["examples_new"] > 0
+        assert math.isfinite(metrics["loss"])
+
+    def test_static_calibrates_on_replay_after_first_iteration(self, tmp_path):
+        tr = make_tiny_trainer(tmp_path, selfplay_quant="static")
+        tr.run_iteration()
+        assert len(tr.buffer) > 0
+        # second iteration takes the calibrated-scales branch
+        metrics = tr.run_iteration()
+        assert metrics["examples_new"] > 0
+
+    def test_quant_examples_are_valid(self, tmp_path):
+        tr = make_tiny_trainer(tmp_path, selfplay_quant="dynamic")
+        examples, stats = tr.execute_selfplay()
+        assert len(examples) == stats["examples"] > 0
+        s, p, wl = examples[0]
+        assert p.sum() == pytest.approx(1.0, abs=1e-4)
+        assert sorted(wl.tolist()) == [0.0, 1.0]
