@@ -22,13 +22,15 @@ while true; do
              sort -n | tail -1)
     last=$(cat "$ART/.last_archived_r4" 2>/dev/null || echo "")
     if [ -n "$latest" ] && [ "$latest" != "$last" ]; then
+        # NOTE: np.savez appends ".npz" when missing — the tmp name must
+        # already end in .npz or the mv below misses the real output
         if python "$REPO/scripts/archive_model.py" export \
-                "$CKPT/iteration_$latest" "$ART/model_r4_latest.npz.tmp"; then
-            mv "$ART/model_r4_latest.npz.tmp" "$ART/model_r4_latest.npz"
+                "$CKPT/iteration_$latest" "$ART/model_r4_latest.tmp.npz"; then
+            mv "$ART/model_r4_latest.tmp.npz" "$ART/model_r4_latest.npz"
             echo "$latest" > "$ART/.last_archived_r4"
             echo "$(date -u +%H:%M:%S) archived iteration_$latest"
         else
-            rm -f "$ART/model_r4_latest.npz.tmp"
+            rm -f "$ART/model_r4_latest.tmp.npz"
             echo "$(date -u +%H:%M:%S) export of iteration_$latest FAILED"
         fi
     fi
