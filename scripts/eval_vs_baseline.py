@@ -25,6 +25,10 @@ from alphazero_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 import jax
+
+if os.environ.get("AZTPU_CPU", "0") == "1":
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 from alphazero_tpu.baseline import BitboardPosition, Search

@@ -28,6 +28,9 @@ last=$(ls -d "$CKPT"/iteration_* | sed 's/.*iteration_//' | sort -n | tail -1)
 for n in $(seq 8 8 "$last") "$last"; do
     [ -e "$ARENA/iteration_$n" ] || cp -r "$CKPT/iteration_$n" "$ARENA/"
 done
+# int8 calibration reads training_data.npz next to the checkpoint
+[ -e "$ARENA/training_data.npz" ] || \
+    ln -s "$CKPT/training_data.npz" "$ARENA/training_data.npz"
 echo "=== arena: $(ls -d "$ARENA"/iteration_* | wc -l) models, $ROUNDS rounds"
 python main.py arena --checkpoint-dir "$ARENA" --rounds "$ROUNDS" \
     2>&1 | tee "$LOGS/arena.log"
