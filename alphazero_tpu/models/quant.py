@@ -228,10 +228,16 @@ def calibrate(qp: Dict[str, Any], planes_batches: List[jax.Array],
 
 def make_quant_evaluator(net: AlphaZeroNet, variables: Dict[str, Any],
                          dtype: Any = jnp.bfloat16,
-                         act_scales: Dict[str, Any] | None = None):
+                         act_scales: Dict[str, Any] | None = None,
+                         qp: Dict[str, Any] | None = None):
     """Search-compatible evaluator (same contract as make_net_evaluator,
-    search/mcts.py:679-687) over the int8-quantized checkpoint."""
-    qp = quantize_network(net, variables)
+    search/mcts.py:679-687) over the int8-quantized checkpoint.
+
+    Pass a precomputed ``qp`` (quantize_network output) to skip re-folding
+    BN + re-quantizing the tower when the caller already did it (e.g. for
+    calibration)."""
+    if qp is None:
+        qp = quantize_network(net, variables)
 
     def eval_fn(planes: jax.Array):
         policy_logits, wl_logits = quant_apply(qp, planes, dtype=dtype,

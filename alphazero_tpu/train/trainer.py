@@ -180,15 +180,20 @@ class Trainer:
         )
 
         net, variables = self._inference_net(), self._variables()
+        qp = quantize_network(net, variables)
         act_scales = None
         if self.cfg.selfplay_quant == "static" and len(self.buffer) > 0:
-            n = min(len(self.buffer), 4096)
+            # fixed 4096-sample draw WITH replacement: calibration batch
+            # shapes stay (1024, ...) x 4 regardless of buffer fill, so
+            # calibrate()'s jitted forward compiles exactly once per run
+            n = 4096
             idx = self.np_rng.integers(0, len(self.buffer), size=n)
             planes = self.buffer.states[idx].astype(np.float32)
             batches = [jnp.asarray(planes[i:i + 1024])
                        for i in range(0, n, 1024)]
-            act_scales = calibrate(quantize_network(net, variables), batches)
-        return make_quant_evaluator(net, variables, act_scales=act_scales)
+            act_scales = calibrate(qp, batches)
+        return make_quant_evaluator(net, variables, act_scales=act_scales,
+                                    qp=qp)
 
     def execute_selfplay(self, num_games: Optional[int] = None):
         eval_fn = self._selfplay_evaluator()

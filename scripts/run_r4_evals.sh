@@ -20,6 +20,11 @@ if ps aux | grep -v grep | grep -q "main.py train"; then
     exit 1
 fi
 
+# Suspend the hang watchdog for the whole campaign (it would otherwise
+# see the trainer pid gone and relaunch it mid-eval — two TPU processes).
+touch "$REPO/run_r4/PAUSE"
+trap 'rm -f "$REPO/run_r4/PAUSE"' EXIT
+
 # 1. Arena over a checkpoint subset (every 8th + the last): dense ELO
 #    coverage per chip-minute; writes arena_state.json + model_best.
 ARENA=$REPO/run_r4/arena

@@ -42,7 +42,8 @@ if at32:
     print(f"plateau anchor — iteration 32: loss {at32['loss']:.3f} vs "
           f"round-2's 1.557 (pi {at32['loss_pi']:.3f} vs 1.111, "
           f"wl {at32['loss_wl']:.3f} vs 0.446)")
-itr_s = [r["selfplay_seconds"] + r["learn_seconds"] for r in rows[2:]]
+itr_s = [r["selfplay_seconds"] + r["learn_seconds"] for r in rows[2:]
+         if "selfplay_seconds" in r and "learn_seconds" in r]
 if itr_s:
     avg = sum(itr_s) / len(itr_s)
     print(f"steady-state iteration wall: {avg:.0f}s "
