@@ -18,6 +18,7 @@ REPO=/root/repo
 RUN=$REPO/run_r4
 METRICS=$RUN/checkpoints/metrics.jsonl
 STALL=960
+ITERS=${AZTPU_WATCHDOG_ITERS:-100}
 
 last_metrics_age() {
     [ -f "$METRICS" ] || { echo 0; return; }
@@ -31,7 +32,7 @@ restart() {
     cd "$REPO"
     setsid nohup python main.py train \
         --checkpoint-dir "$RUN/checkpoints" \
-        --games 512 --selfplay-batches 2 --iterations 100 \
+        --games 512 --selfplay-batches 2 --iterations "$ITERS" \
         >> "$RUN/train2.log" 2>&1 < /dev/null &
     sleep 10
     ps aux | grep -v grep | grep "main.py train" | awk '{print $2}' | \
@@ -41,9 +42,22 @@ restart() {
     sleep "$STALL"
 }
 
+done_iters() {
+    ls -d "$RUN"/checkpoints/iteration_* 2>/dev/null | \
+        sed 's/.*iteration_//' | sort -n | tail -1
+}
+
 while true; do
     sleep 60
     [ -f "$RUN/PAUSE" ] && continue
+    # round-4 lesson: once the target iteration exists, a relaunched
+    # trainer resumes, finds nothing to do, and stalls — looping a
+    # ~10-min TPU resume forever. Stand down instead.
+    latest=$(done_iters)
+    if [ -n "$latest" ] && [ "$latest" -ge "$ITERS" ]; then
+        echo "$(date -u +%H:%M:%S) training complete (iteration $latest >= $ITERS) — watchdog exiting"
+        exit 0
+    fi
     pid=$(cat "$RUN/train.pid" 2>/dev/null || echo "")
     if [ -z "$pid" ] || ! kill -0 "$pid" 2>/dev/null; then
         echo "$(date -u +%H:%M:%S) trainer pid '$pid' gone"
