@@ -13,10 +13,10 @@ Env knobs: AZTPU_BENCH_GAMES (512), AZTPU_BENCH_SIMS (800),
 AZTPU_BENCH_REPS (3), AZTPU_BENCH_MODE=move|selfplay — ``selfplay`` plays
 whole games to completion through the full actor loop and reports
 games/hour + env-steps/s on stderr alongside the sims/s metric.
-AZTPU_BENCH_QUANT=dynamic|static swaps in the int8 evaluator
-(models/quant.py; "static" is the calibrated-scales flavor measured +56%
-on chip, docs/quant-int8.md) for A/B runs; the default stays bf16 until
-the int8 strength gate passes on a trained checkpoint.
+AZTPU_BENCH_QUANT selects the evaluator: "static" (default — the
+production self-play path since the round-5 strength gates passed:
+equal-compute 40-24 over bf16, docs/quant-int8.md Decision),
+"dynamic" (per-layer amax int8), or "off" (the bf16 tower).
 """
 
 import functools
@@ -57,7 +57,7 @@ def main():
     cfg = Config(num_simulations=num_sims, value_dtype=value_dtype)
     net, variables = init_network(cfg, jax.random.PRNGKey(0),
                                   dtype=jnp.bfloat16)
-    quant = os.environ.get("AZTPU_BENCH_QUANT", "0")
+    quant = os.environ.get("AZTPU_BENCH_QUANT", "static")
     if quant in ("1", "dynamic"):
         from alphazero_tpu.models.quant import make_quant_evaluator
 

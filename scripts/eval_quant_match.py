@@ -94,7 +94,7 @@ def pair_eval_fn(planes, a_to_move):
     return jnp.where(sel, pa, pb), jnp.where(a_to_move, va, vb)
 
 
-rng = random.Random(2026)
+rng = random.Random(int(os.environ.get("AZTPU_MATCH_SEED", "2026")))
 openings = [random_opening(rng) for _ in range(PAIRS)]
 sims = SIMS or cfg.num_simulations_inference
 wins_q, wins_f = play_paired_matches(

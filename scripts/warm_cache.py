@@ -87,7 +87,7 @@ def main() -> None:
     vdt = os.environ.get("AZTPU_BENCH_VALUE_DTYPE", "float32")
     cfg = Config(num_simulations=sims, value_dtype=vdt)
     print(f"device: {jax.devices()[0]}", flush=True)
-    quant = os.environ.get("AZTPU_BENCH_QUANT", "0")
+    quant = os.environ.get("AZTPU_BENCH_QUANT", "static")
     warm_move(cfg, games, sims, f"bench move (quant={quant})", quant=quant)
 
     if os.environ.get("AZTPU_WARM_TRAIN", "0") == "1":
