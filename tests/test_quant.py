@@ -189,3 +189,39 @@ def test_quant_evaluator_drives_search(value_dtype):
     assert (pi[~legal] == 0).all()
     np.testing.assert_allclose(pi.sum(-1), 1.0, rtol=1e-6)
     assert v.sum(-1).max() == 16  # the 16-bit tree counts sims exactly
+
+
+def test_asym_sims_match_move_matches_symmetric_arena_move():
+    """The equal-compute gate's per-lane program selection
+    (scripts/eval_asym_match.py:asym_move): when both sides share one
+    evaluator AND one sim budget, selecting between the two per-lane
+    search results by side-to-move must reproduce the arena's fused
+    single-program greedy move exactly — i.e. the asymmetric harness
+    differs from arena/match.py only in the budgets it allows."""
+    from alphazero_tpu.arena.match import _match_move
+    from alphazero_tpu.env import breakthrough as env
+    from alphazero_tpu.search import root_action_probs
+
+    cfg, net, variables = _tiny()
+    eval_fn = make_quant_evaluator(net, variables)
+    spec = SearchSpec(num_simulations=12, c_puct=cfg.c_puct,
+                      dirichlet_epsilon=0.0)
+
+    states = initial_state((6,))
+    a_is_white = jnp.asarray([i % 2 == 0 for i in range(6)])
+
+    # arena path: one fused program, eval_ctx-routed (here: one net)
+    ref = _match_move(states, a_is_white,
+                      lambda planes, a_to_move: eval_fn(planes), spec)
+
+    # asym path at equal budgets: two programs, per-lane action select
+    a_to_move = jnp.where(states.turn == env.WHITE, a_is_white, ~a_is_white)
+    acts_a = jnp.argmax(root_action_probs(
+        search(states, eval_fn, spec), 0.0), -1).astype(jnp.int32)
+    acts_b = jnp.argmax(root_action_probs(
+        search(states, eval_fn, spec), 0.0), -1).astype(jnp.int32)
+    got = env.step(states, jnp.where(a_to_move, acts_a, acts_b))
+
+    np.testing.assert_array_equal(np.asarray(got.board),
+                                  np.asarray(ref.board))
+    np.testing.assert_array_equal(np.asarray(got.turn), np.asarray(ref.turn))
